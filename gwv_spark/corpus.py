@@ -1,0 +1,333 @@
+"""Deterministic synthetic corpus of interleaved text+media documents.
+
+The driver's parquet tables do not include a spans-shaped corpus, so we
+synthesise one (BASELINE.json.input_hint pins the shape):
+
+    documents(doc_id STRING, spans ARRAY<STRUCT<kind, text, media_ref, offset>>)
+    doc_attrs(doc_id STRING, related STRING, ts DOUBLE)
+
+Every record is a pure function of (seed, idx, n_docs) — no wall clock, no
+global RNG — so the corpus is reproducible at any scale and can be
+generated either driver-side (pyarrow, small SF: both Spark and the DuckDB
+oracle read the same files) or distributed (mapInPandas over spark.range,
+the path a 10^12-doc corpus would use).
+
+Population design follows FIXTURES.md §1: skewed doc_id prefixes
+(~40% under 'koseki-0' to exercise salting/AQE skew handling), aliases
+with occasional dangling entities, blank docs, part quotes (valid,
+dangling, versioned, do-not-use), malformed spans, non-canonical integer
+reprs, and geometry patterns that trigger dup/skew/corner rules.
+"""
+
+from __future__ import annotations
+
+import random
+from pathlib import Path
+
+DEFAULT_SEED = 42
+CORPUS_TS = 1700000000.0
+
+# gdata of a glyph that is itself deprecated: aliases of 'do-not-use'
+# (GlyphWiki convention; donotuse.py:27-34 checks for the literal string).
+_DNU = "do-not-use"
+
+
+def _py_int(s: str) -> int | None:
+    try:
+        return int(s)
+    except ValueError:
+        return 0 if s.strip() == "" else None
+
+
+def py_spans(gdata: str) -> list[dict]:
+    """Python mirror of parse.gdata_to_spans (used by the arrow writer and
+    by tests as the round-trip oracle)."""
+    spans = []
+    for i, text in enumerate(gdata.split("$")):
+        cols = text.split(":")
+        st = _py_int(cols[0])
+        kind = "part" if st == 99 else ("meta" if st == 0 else "stroke")
+        media_ref = None
+        if st == 99 and len(cols) >= 8:
+            media_ref = cols[7].split("@")[0]
+        spans.append({"kind": kind, "text": text, "media_ref": media_ref, "offset": i})
+    return spans
+
+
+def _strokes(rng: random.Random, n: int) -> list[str]:
+    out = []
+    for _ in range(n):
+        t = rng.randrange(4)
+        if t == 0:  # horizontal line
+            x0, x1 = sorted(rng.sample(range(10, 190), 2))
+            y = rng.randrange(20, 180)
+            out.append(f"1:0:2:{x0}:{y}:{x1}:{y}")
+        elif t == 1:  # vertical line
+            y0, y1 = sorted(rng.sample(range(10, 190), 2))
+            x = rng.randrange(20, 180)
+            out.append(f"1:0:0:{x}:{y0}:{x}:{y1}")
+        elif t == 2:  # curve
+            xs = [rng.randrange(10, 190) for _ in range(6)]
+            out.append("2:0:7:" + ":".join(map(str, xs)))
+        else:  # generic diagonal line
+            xs = [rng.randrange(10, 190) for _ in range(4)]
+            out.append("1:7:8:" + ":".join(map(str, xs)))
+    return out
+
+
+def _ucs_kanji_name(k: int) -> str:
+    """k-th unique togo-kanji codepoint name."""
+    if k < 0x5200:
+        return f"u{0x4E00 + k:04x}"
+    return f"u{0x20000 + (k - 0x5200):05x}"
+
+
+def gen_record(idx: int, n_docs: int, seed: int = DEFAULT_SEED):
+    """(doc_id, related, gdata) for document #idx — pure function."""
+    rng = random.Random(f"{seed}:{idx}")
+    b = idx % 20
+    related = "u3013"
+
+    if b <= 7:  # 40%: koseki docs — the skewed prefix band
+        name = f"koseki-{idx % 900000:06d}" if idx < 900000 * 20 else f"kx{idx}-x"
+        if idx % 160 == 9:  # a few deprecated glyphs: alias of do-not-use
+            gdata = f"99:0:0:0:0:200:200:{_DNU}"
+        elif idx % 80 == 3:  # blank docs
+            gdata = "0:-1:-1:-1"
+        else:
+            gdata = "$".join(_strokes(rng, rng.randrange(1, 5)))
+    elif b <= 10:  # 15%: ucs-kanji
+        name = _ucs_kanji_name(idx // 20)
+        r = rng.random()
+        if r < 0.70:
+            related = name
+        elif r < 0.85:
+            related = "u3013"
+        else:
+            related = f"u{0x4E00 + rng.randrange(0x5200):04x}"
+        gdata = "$".join(_strokes(rng, rng.randrange(1, 5)))
+    elif b == 11:  # 5%: ucs-hikanji
+        cp = 0x0041 + (idx // 20) % 0x3000
+        rep = (idx // 20) // 0x3000
+        name = f"u{cp:04x}" if rep == 0 else f"u{cp:04x}-var-{rep:03d}"
+        gdata = "$".join(_strokes(rng, rng.randrange(1, 3)))
+    elif b == 12:  # 5%: ucs variant (non-alias body)
+        name = f"u{0x4E00 + (idx // 20) % 0x5200:04x}-var-{100 + (idx // 20) // 0x5200:03d}"
+        gdata = "$".join(_strokes(rng, rng.randrange(1, 4)))
+    elif b == 13:  # 5%: aliases — mostly valid entity, some dangling
+        name = f"u{0x4E00 + (idx // 20) % 0x5200:04x}-itaiji-{100 + (idx // 20) // 0x5200:03d}"
+        if rng.random() < 0.10:
+            entity = f"none-{idx}"  # dangling
+        else:
+            k = (idx // 20) % max(1, _count_in_bucket(n_docs, 8))
+            entity = _ucs_kanji_name(_kth_idx_in_bucket(k, 8) // 20)
+        gdata = f"99:0:0:0:0:200:200:{entity}"
+    elif b == 14:  # 5%: ids compositions
+        k1 = rng.randrange(max(1, _count_in_bucket(n_docs, 8)))
+        k2 = rng.randrange(max(1, _count_in_bucket(n_docs, 9)))
+        p1 = _ucs_kanji_name(_kth_idx_in_bucket(k1, 8) // 20)
+        p2 = _ucs_kanji_name(_kth_idx_in_bucket(k2, 9) // 20)
+        idc = rng.choice(["u2ff0", "u2ff1"])
+        name = f"{idc}-{p1}-{p2}"
+        if idc == "u2ff0":
+            gdata = f"99:0:0:0:0:100:200:{p1}-01$99:0:0:100:0:200:200:{p2}-02"
+        else:
+            gdata = f"99:0:0:0:0:200:100:{p1}-02$99:0:0:0:100:200:200:{p2}-01"
+    elif b == 15:  # 5%: toki docs, tied to koseki entries
+        knum = (idx - 15) % 900000  # koseki docs exist at idx ≡ 0..7 (mod 20)
+        name = f"toki-00{knum:06d}"
+        target = f"koseki-{knum:06d}"
+        if rng.random() < 0.8:
+            gdata = f"99:0:0:0:0:200:200:{target}"
+        else:
+            gdata = "$".join(_strokes(rng, 2))
+    elif b == 16:  # 5%: user-owned
+        name = f"test_{idx}"
+        gdata = "0:-1:-1:-1" if rng.random() < 0.3 else "$".join(_strokes(rng, 1))
+    elif b == 17:  # 5%: quoting docs (referential-integrity exercise)
+        name = f"quoter-{idx}"
+        r = rng.random()
+        k = rng.randrange(max(1, _count_in_bucket(n_docs, 0)))
+        target_idx = _kth_idx_in_bucket(k, 0)
+        target = f"koseki-{target_idx % 900000:06d}"
+        if r < 0.60:
+            quote = target
+        elif r < 0.75:
+            quote = f"{target}@{rng.randrange(1, 30)}"  # versioned (mustrenew)
+        elif r < 0.90:
+            quote = f"none-{idx}"  # dangling (delquote)
+        else:  # quote a deprecated glyph (donotuse): idx ≡ 9 (mod 160)
+            k2 = rng.randrange(max(1, 1 + (n_docs - 1 - 9) // 160))
+            quote = f"koseki-{(9 + 160 * k2) % 900000:06d}"
+        lines = [f"99:0:0:{rng.randrange(50)}:{rng.randrange(50)}:150:150:{quote}"]
+        lines += _strokes(rng, 1)  # keep it non-alias
+        gdata = "$".join(lines)
+    elif b == 18:  # 5%: geometry patterns (dup / skew / corner)
+        name = f"geom-{idx}"
+        g = rng.randrange(4)
+        if g == 0:  # near-duplicate horizontal pair (dup.py:101-118)
+            y = rng.randrange(30, 170)
+            d = rng.randrange(0, 4)
+            gdata = f"1:0:2:10:{y}:190:{y}$1:0:2:10:{y + d}:190:{y + d}"
+        elif g == 1:  # skewed near-vertical line (skew.py:89-105)
+            x = rng.randrange(30, 170)
+            d = rng.randrange(1, 4)
+            gdata = f"1:0:0:{x}:10:{x + d}:190"
+        elif g == 2:  # skewed near-horizontal line
+            y = rng.randrange(30, 170)
+            d = rng.randrange(1, 4)
+            gdata = f"1:0:2:10:{y}:190:{y + d}"
+        else:  # L-corner: vertical meets horizontal (corner rule food)
+            x, y = rng.randrange(30, 120), rng.randrange(30, 120)
+            jx = rng.randrange(-2, 3)
+            gdata = f"1:0:0:{x}:{y}:{x}:{y + 80}$1:2:2:{x + jx}:{y + 80}:{x + 80}:{y + 80}"
+    else:  # 5%: malformed spans (numexp / illegal food)
+        name = f"bad-{idx}"
+        g = rng.randrange(5)
+        if g == 0:  # blank line
+            gdata = "1:0:2:10:100:190:100$"
+        elif g == 1:  # invalid char
+            gdata = "1:0:2:10:100:190:100 $1:0:2:10:120:190:120"
+        elif g == 2:  # non-canonical int
+            gdata = f"1:0:2:0{rng.randrange(10, 99)}:100:190:100"
+        elif g == 3:  # wrong arity for stroke type 2
+            gdata = "2:0:7:10:10:100:100"
+        else:  # unknown stroke type
+            gdata = "8:0:0:10:10:100:100"
+    return name, related, gdata
+
+
+def _count_in_bucket(n_docs: int, b: int) -> int:
+    """How many idx < n_docs have idx % 20 == b."""
+    return (n_docs - b + 19) // 20 if n_docs > b else 0
+
+
+def _kth_idx_in_bucket(k: int, b: int) -> int:
+    return b + 20 * k
+
+
+def n_docs_for_sf_dir(sf_dir: str) -> int:
+    """Match the driver's documents-table scaling (500 rows at sf0.001)."""
+    name = Path(sf_dir).name  # e.g. 'sf0.01'
+    try:
+        sf = float(name.replace("sf", ""))
+    except ValueError:
+        sf = 0.001
+    return max(200, int(round(500 * sf / 0.001)))
+
+
+def synth_dir_for(sf_dir: str, root: str | Path | None = None) -> Path:
+    root = Path(root) if root else Path(__file__).resolve().parent.parent / ".synth"
+    return root / Path(sf_dir).name
+
+
+def ensure_corpus(
+    out_dir: str | Path, n_docs: int, seed: int = DEFAULT_SEED, overwrite: bool = False
+) -> Path:
+    """Write documents.parquet + doc_attrs.parquet with pyarrow (driver
+    side — used at test SF so DuckDB and Spark read identical bytes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = Path(out_dir)
+    docs_path = out / "documents.parquet"
+    attrs_path = out / "doc_attrs.parquet"
+    if docs_path.exists() and attrs_path.exists() and not overwrite:
+        return out
+    out.mkdir(parents=True, exist_ok=True)
+
+    names, relateds, spans_col = [], [], []
+    for idx in range(n_docs):
+        name, related, gdata = gen_record(idx, n_docs, seed)
+        names.append(name)
+        relateds.append(related)
+        spans_col.append(py_spans(gdata))
+
+    span_type = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+    docs = pa.table(
+        {"doc_id": pa.array(names, pa.string()), "spans": pa.array(spans_col, span_type)}
+    )
+    pq.write_table(docs, docs_path)
+    attrs = pa.table(
+        {
+            "doc_id": pa.array(names, pa.string()),
+            "related": pa.array(relateds, pa.string()),
+            "ts": pa.array([CORPUS_TS] * n_docs, pa.float64()),
+        }
+    )
+    pq.write_table(attrs, attrs_path)
+    return out
+
+
+def ensure_corpus_for_sf_dir(sf_dir: str, seed: int = DEFAULT_SEED) -> Path:
+    out = synth_dir_for(sf_dir)
+    return ensure_corpus(out, n_docs_for_sf_dir(sf_dir), seed)
+
+
+def spark_generate(spark, n_docs: int, seed: int = DEFAULT_SEED, partitions: int | None = None):
+    """Distributed generation — the 10^12-doc path.  spark.range is evenly
+    partitioned; each task generates its id range independently (no driver
+    materialization, no shuffle)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("related", StringType()),
+            StructField("ts", DoubleType()),
+            StructField(
+                "spans",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("kind", StringType()),
+                            StructField("text", StringType()),
+                            StructField("media_ref", StringType()),
+                            StructField("offset", IntegerType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+
+    def gen_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for idx in pdf["id"]:
+                name, related, gdata = gen_record(int(idx), n_docs, seed)
+                rows.append(
+                    {
+                        "doc_id": name,
+                        "related": related,
+                        "ts": CORPUS_TS,
+                        "spans": [
+                            (s["kind"], s["text"], s["media_ref"], s["offset"])
+                            for s in py_spans(gdata)
+                        ],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "related", "ts", "spans"])
+
+    rng_df = spark.range(0, n_docs, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInPandas(gen_batches, schema=schema)

@@ -1,0 +1,157 @@
+"""Engine: compile selected rules to one unioned violations plan, emit
+per-partition verdicts, and reproduce the reference's result-JSON shape.
+
+Reference lifecycle being replaced (validator.py:26-60): eager dict load →
+per-record loop over all validators → per-rule errcode grouping → JSON.
+Here: one prepared scan shared by all rule plans (Catalyst caches the
+common subplan; narrow rules fuse into the same whole-stage codegen pass),
+wide rules (anti joins / global aggs) shuffle independently, and the
+verdict rollup is a single groupBy over bucketed doc_ids.
+
+Resumability (north rule): work is keyed by (rule_id, bucket) where
+bucket = pmod(xxhash64(doc_id), n_buckets).  A completed-partition ledger
+is written per run; a rerun anti-joins the ledger and only recomputes
+missing buckets.  On Iceberg this would key off the snapshot id; on plain
+parquet we key off the corpus fingerprint.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gwv_spark import derive
+from gwv_spark.corpus import CORPUS_TS
+from gwv_spark.rules import (
+    ALL_RULE_IDS,
+    RULES,
+    VIOLATIONS_DDL,
+    RuleContext,
+    decode_detail,
+    load_all_rules,
+)
+
+
+def make_context(
+    spark: SparkSession,
+    documents: DataFrame,
+    attrs: DataFrame | None = None,
+    dims: dict[str, DataFrame] | None = None,
+) -> RuleContext:
+    docs = derive.prepare(documents)
+    spans = derive.exploded_spans(docs)
+    return RuleContext(spark=spark, docs=docs, spans=spans, attrs=attrs, dims=dims or {})
+
+
+def empty_violations(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], VIOLATIONS_DDL)
+
+
+def run_rules(ctx: RuleContext, rule_ids: list[str] | None = None) -> DataFrame:
+    """Union the violation plans of the selected rules (lazy)."""
+    load_all_rules()
+    ids = [r for r in (rule_ids or ALL_RULE_IDS) if r in RULES]
+    if not ids:
+        return empty_violations(ctx.spark)
+    out = None
+    for rid in ids:
+        df = RULES[rid](ctx)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def partition_verdicts(
+    docs: DataFrame, violations: DataFrame, n_buckets: int = 256, run_id: str = "run"
+) -> DataFrame:
+    """Per-(bucket, rule) pass/fail rollup (FIXTURES.md §6).
+
+    xxhash64 bucketing decorrelates the skewed doc_id prefixes, so bucket
+    sizes stay uniform at any corpus scale."""
+    bucket = lambda c: F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")  # noqa: E731
+    doc_counts = docs.groupBy(bucket(F.col("doc_id")).alias("partition_id")).agg(
+        F.count("*").alias("n_docs")
+    )
+    vio_counts = violations.groupBy(
+        bucket(F.col("doc_id")).alias("partition_id"), F.col("rule_id")
+    ).agg(F.count("*").alias("n_violations"))
+    return (
+        doc_counts.join(vio_counts, "partition_id", "left")
+        .select(
+            F.lit(run_id).alias("run_id"),
+            "partition_id",
+            F.coalesce(F.col("rule_id"), F.lit("__all__")).alias("rule_id"),
+            (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("pass"),
+            "n_docs",
+            F.coalesce(F.col("n_violations"), F.lit(0)).alias("n_violations"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- report
+
+# Rules whose empty result still carries fixed keys
+# (mustrenew.py:49-61; tests/test_validator.py:16-19).
+_ALWAYS_PRESENT_CODES = {"mustrenew": ["0", "@"]}
+
+
+def result_json(
+    violations_rows: list,
+    rule_ids: list[str] | None = None,
+    timestamp: float = CORPUS_TS,
+) -> dict:
+    """Rebuild the reference's result dict
+    {rule: {timestamp, result: {errcode: [[doc_id, *params], ...]}}}
+    from collected violation rows (validator.py:57-60)."""
+    ids = rule_ids or ALL_RULE_IDS
+    out: dict = {
+        rid: {
+            "timestamp": timestamp,
+            "result": {code: [] for code in _ALWAYS_PRESENT_CODES.get(rid, [])},
+        }
+        for rid in ids
+    }
+    rows = sorted(violations_rows, key=lambda r: (r["rule_id"], r["errcode"], r["sortkey"]))
+    for r in rows:
+        if r["rule_id"] not in out:
+            continue
+        res = out[r["rule_id"]]["result"]
+        params = [decode_detail(d) for d in (r["detail"] or [])]
+        res.setdefault(r["errcode"], []).append([r["doc_id"], *params])
+    return out
+
+
+def write_result_json(result: dict, path: str | Path) -> None:
+    """Byte-compatible with the reference sink (gwv.py:43-44)."""
+    with open(path, "w") as f:
+        json.dump(result, f, separators=(",", ":"), sort_keys=True)
+
+
+# ------------------------------------------------------------- resume
+
+class Ledger:
+    """Completed-(rule, bucket) ledger for checkpoint/resume."""
+
+    def __init__(self, spark: SparkSession, path: str | Path):
+        self.spark = spark
+        self.path = str(path)
+
+    def completed(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame(
+                [], "rule_id STRING, partition_id INT"
+            )
+
+    def mark(self, verdicts: DataFrame) -> None:
+        verdicts.select("rule_id", "partition_id").write.mode("append").parquet(self.path)
+
+    def remaining_filter(self, violations: DataFrame, n_buckets: int = 256) -> DataFrame:
+        done = self.completed()
+        bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
+        return violations.withColumn("partition_id", bucket).join(
+            done, ["rule_id", "partition_id"], "left_anti"
+        ).drop("partition_id")

@@ -1,0 +1,18 @@
+"""Differential parity: the Spark engine must reproduce the reference's
+violations on the same synthetic corpus (canonicalized within errcode)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.parity import assert_parity, run_engine, run_reference
+
+# Rules runnable without the missing 3rd-party data files or network.
+PARITY_RULES_IMPLEMENTED = ["numexp", "delquote"]
+
+
+@pytest.mark.parametrize("rule_id", PARITY_RULES_IMPLEMENTED)
+def test_rule_parity(spark, reference_gwv, small_corpus_records, small_corpus_df, rule_id):
+    ref = run_reference(reference_gwv, small_corpus_records, [rule_id])
+    eng = run_engine(spark, small_corpus_df, [rule_id])
+    assert_parity(ref, eng, [rule_id])
