@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship — full implemented gwv rule suite over the
+  synthetic spans corpus at sf0.001, returning the violations DataFrame.
+- ``queries()``: every implemented operator (see gwv_spark/queries.py).
+- ``oracle_sql()``: matching DuckDB SQL; synthetic-corpus queries read
+  the same parquet the Spark side generates (deterministic, written on
+  first use at import/query time).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from gwv_spark import engine  # noqa: E402
+from gwv_spark import queries as Q  # noqa: E402
+from gwv_spark.corpus import ensure_corpus_for_sf_dir  # noqa: E402
+
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness tier
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: run all implemented validation rules over the synthetic
+    interleaved corpus at sf0.001 and return the violations table."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = Q.synth_docs(spark, sf_dir)
+    ctx = engine.make_context(spark, docs)
+    return engine.run_rules(ctx)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.spark_fn for name, spec in Q.REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # the oracle reads the synthetic corpus parquet from disk: make sure
+    # it exists for the driver's sf before handing out SQL
+    ensure_corpus_for_sf_dir(_ORACLE_SF_DIR)
+    return {
+        name: spec.oracle_fn(_ORACLE_SF_DIR)
+        for name, spec in Q.REGISTRY.items()
+        if spec.oracle_fn is not None
+    }

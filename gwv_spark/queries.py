@@ -1,0 +1,703 @@
+"""Query registry: every operator exposed through the driver contract.
+
+Each entry pairs a Spark DataFrame plan with a DuckDB oracle SQL string
+over the same tables.  Column names are aliased identically on both
+sides; numeric results are engineered to be *bitwise identical*:
+
+- money aggregates: cast to DECIMAL before summing (exact in both
+  engines, same scale rules), cast the exact sum to double at the end;
+- ratios: integer / integer in double (one IEEE op on identical inputs);
+- no F.round on engine-divergent floats (Spark's round goes through
+  Double.toString and can disagree with DuckDB at repr boundaries) —
+  round only where both sides round the same exact value.
+
+gwv rule queries run over the synthetic spans corpus (generated
+deterministically into .synth/<sf>/ — corpus.ensure_corpus_for_sf_dir);
+the oracle reads the same parquet via read_parquet().
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gwv_spark import stats, textops, vectorops
+from gwv_spark.corpus import ensure_corpus_for_sf_dir, synth_dir_for
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle_fn: Callable[[str], str] | None  # sf_dir -> SQL (None: rows-only)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def q(name: str, oracle: Callable[[str], str] | None = None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def synth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_corpus_for_sf_dir(sf_dir)
+    return spark.read.parquet(str(d / "documents.parquet"))
+
+
+def synth_docs_sql(sf_dir: str) -> str:
+    d = synth_dir_for(sf_dir)
+    return f"read_parquet('{d}/documents.parquet')"
+
+
+# =====================================================================
+# Relational / TPC-H-style
+# =====================================================================
+
+_DEC_PRICE = "decimal(14,2)"
+_DEC_FACTOR = "decimal(6,2)"
+
+
+def _disc_price():
+    return F.col("l_extendedprice").cast(_DEC_PRICE) * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast(_DEC_FACTOR)
+
+
+@q(
+    "tpch_q1_pricing_summary",
+    lambda sf: """
+    SELECT l_returnflag, l_linestatus,
+           (SUM(CAST(l_quantity AS DECIMAL(12,2))))::DOUBLE AS sum_qty,
+           (SUM(CAST(l_extendedprice AS DECIMAL(14,2))))::DOUBLE AS sum_base_price,
+           (SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(6,2))))::DOUBLE AS sum_disc_price,
+           (SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(6,2)) * CAST(1.0 + l_tax AS DECIMAL(6,2))))::DOUBLE AS sum_charge,
+           (SUM(CAST(l_quantity AS DECIMAL(12,2))))::DOUBLE / COUNT(*) AS avg_qty,
+           (SUM(CAST(l_extendedprice AS DECIMAL(14,2))))::DOUBLE / COUNT(*) AS avg_price,
+           (SUM(CAST(l_discount AS DECIMAL(8,2))))::DOUBLE / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(_DEC_PRICE)).cast("double").alias("sum_base_price"),
+        F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+        F.sum(_disc_price() * (F.lit(1.0) + F.col("l_tax")).cast(_DEC_FACTOR))
+        .cast("double")
+        .alias("sum_charge"),
+        (F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double") / cnt).alias("avg_qty"),
+        (F.sum(F.col("l_extendedprice").cast(_DEC_PRICE)).cast("double") / cnt).alias("avg_price"),
+        (F.sum(F.col("l_discount").cast("decimal(8,2)")).cast("double") / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@q(
+    "tpch_q3_top_unshipped",
+    lambda sf: """
+    SELECT l_orderkey,
+           (SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(6,2))))::DOUBLE AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark, sf_dir):
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = T(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = T(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@q(
+    "tpch_q5_region_revenue",
+    lambda sf: """
+    SELECT n_name,
+           (SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(6,2))))::DOUBLE AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@q(
+    "events_funnel_transitions",
+    lambda sf: """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type, COUNT(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def events_funnel(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@q(
+    "events_hourly_rollup",
+    lambda sf: """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           (SUM(CAST(value AS DECIMAL(12,2))))::DOUBLE AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
+
+
+# =====================================================================
+# Validation-engine stats layer (north rule)
+# =====================================================================
+
+_DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@q(
+    "stats_documents_columns",
+    lambda sf: "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column, COUNT(*) AS n_rows,
+               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               MIN({c})::VARCHAR AS min_value, MAX({c})::VARCHAR AS max_value
+        FROM documents"""
+        for c in _DOC_COLS
+    ),
+)
+def stats_documents_columns(spark, sf_dir):
+    return stats.column_stats(T(spark, sf_dir, "documents"), _DOC_COLS, exact_distinct=True)
+
+
+@q(
+    "stats_uniqueness_orders",
+    lambda sf: """
+    WITH dups AS (
+      SELECT o_orderkey, COUNT(*) AS n_rows FROM orders GROUP BY 1 HAVING COUNT(*) > 1
+    )
+    SELECT COALESCE(COUNT(*), 0) AS n_duplicate_keys,
+           COALESCE(SUM(n_rows), 0)::BIGINT AS n_rows_in_duplicates
+    FROM dups
+    """,
+)
+def stats_uniqueness_orders(spark, sf_dir):
+    return stats.uniqueness_summary(T(spark, sf_dir, "orders"), ["o_orderkey"])
+
+
+@q(
+    "stats_ri_lineitem_orders",
+    lambda sf: """
+    WITH orphans AS (
+      SELECT l.* FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL
+    )
+    SELECT COALESCE(COUNT(*), 0) AS n_orphan_rows,
+           COALESCE(COUNT(DISTINCT l_orderkey), 0) AS n_orphan_keys
+    FROM orphans
+    """,
+)
+def stats_ri_lineitem_orders(spark, sf_dir):
+    return stats.ri_summary(
+        T(spark, sf_dir, "lineitem"), "l_orderkey", T(spark, sf_dir, "orders"), "o_orderkey"
+    )
+
+
+@q(
+    "stats_ri_lineitem_part",
+    lambda sf: """
+    WITH orphans AS (
+      SELECT l.* FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_partkey IS NULL
+    )
+    SELECT COALESCE(COUNT(*), 0) AS n_orphan_rows,
+           COALESCE(COUNT(DISTINCT l_partkey), 0) AS n_orphan_keys
+    FROM orphans
+    """,
+)
+def stats_ri_lineitem_part(spark, sf_dir):
+    return stats.ri_summary(
+        T(spark, sf_dir, "lineitem"), "l_partkey", T(spark, sf_dir, "part"), "p_partkey"
+    )
+
+
+@q(
+    "stats_drift_psi_nchars_by_source",
+    lambda sf: """
+    WITH hist AS (
+      SELECT source AS grp, FLOOR(n_chars / 50.0)::BIGINT AS bucket, COUNT(*) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    base AS (SELECT bucket, n AS n_base FROM hist WHERE grp = 'src0'),
+    base_tot AS (SELECT SUM(n_base) AS tot_base FROM base),
+    cur_tot AS (SELECT grp, SUM(n) AS tot_cur FROM hist GROUP BY 1),
+    grid AS (SELECT g.grp, b.bucket
+             FROM (SELECT DISTINCT grp FROM hist) g, (SELECT DISTINCT bucket FROM hist) b),
+    j AS (
+      SELECT grid.grp, grid.bucket,
+             COALESCE(h.n, 0) AS n_cur, COALESCE(base.n_base, 0) AS n_base,
+             ct.tot_cur, bt.tot_base
+      FROM grid
+      LEFT JOIN hist h ON h.grp = grid.grp AND h.bucket = grid.bucket
+      LEFT JOIN base ON base.bucket = grid.bucket
+      JOIN cur_tot ct ON ct.grp = grid.grp
+      CROSS JOIN base_tot bt
+    )
+    SELECT grp AS group_id,
+           ROUND(SUM((n_cur/tot_cur + 0.0001 - n_base/CAST(tot_base AS DOUBLE) - 0.0001)
+                 * LN((n_cur/tot_cur + 0.0001) / (n_base/CAST(tot_base AS DOUBLE) + 0.0001))), 6) AS psi
+    FROM j GROUP BY grp
+    """,
+)
+def stats_drift_psi(spark, sf_dir):
+    return stats.psi_by_group(
+        T(spark, sf_dir, "documents"),
+        F.col("n_chars"),
+        F.col("source"),
+        "src0",
+        50.0,
+        eps=1e-4,
+    )
+
+
+@q(
+    "stats_ks_nchars_src0_vs_src1",
+    lambda sf: """
+    WITH sel AS (
+      SELECT n_chars AS v, source AS g FROM documents WHERE source IN ('src0','src1')
+    ),
+    per_v AS (
+      SELECT v, SUM(CASE WHEN g='src0' THEN 1 ELSE 0 END) AS da,
+                SUM(CASE WHEN g='src1' THEN 1 ELSE 0 END) AS db
+      FROM sel GROUP BY v
+    ),
+    ranked AS (
+      SELECT v, SUM(da) OVER (ORDER BY v) AS ca, SUM(db) OVER (ORDER BY v) AS cb
+      FROM per_v
+    ),
+    na AS (SELECT COUNT(*) AS na FROM sel WHERE g='src0'),
+    nb AS (SELECT COUNT(*) AS nb FROM sel WHERE g='src1')
+    SELECT ROUND(MAX(ABS(ca/CAST(na AS DOUBLE) - cb/CAST(nb AS DOUBLE))), 6) AS ks
+    FROM ranked, na, nb
+    """,
+)
+def stats_ks(spark, sf_dir):
+    return stats.ks_statistic(
+        T(spark, sf_dir, "documents"), F.col("n_chars"), F.col("source"), "src0", "src1"
+    )
+
+
+# =====================================================================
+# Text pipeline (dedup / quality / langid / fingerprints)
+# =====================================================================
+
+_TOK_SQL = "string_split_regex(trim(text), '\\s+')"
+_STOP_SQL = "[" + ",".join(f"'{w}'" for w in textops.STOPWORDS) + "]"
+
+
+@q(
+    "text_exact_dup_groups",
+    lambda sf: """
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+    FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def text_exact_dups(spark, sf_dir):
+    return textops.exact_dup_groups(T(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_token_stats",
+    lambda sf: f"""
+    SELECT doc_id,
+           len({_TOK_SQL})::BIGINT AS n_tokens,
+           length(text)::BIGINT AS n_chars,
+           ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 / GREATEST(length(text), 1)::DOUBLE, 6) AS punct_ratio,
+           ROUND(len(list_filter({_TOK_SQL}, t -> list_contains({_STOP_SQL}, t)))
+                 / GREATEST(len({_TOK_SQL}), 1)::DOUBLE, 6) AS stopword_ratio,
+           ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                 / GREATEST(length(text), 1)::DOUBLE, 6) AS alpha_ratio,
+           ROUND((length(text) - (len({_TOK_SQL}) - 1))
+                 / GREATEST(len({_TOK_SQL}), 1)::DOUBLE, 6) AS mean_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    return textops.token_stats(T(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_quality_scores",
+    lambda sf: f"""
+    WITH ts AS (
+      SELECT doc_id, len({_TOK_SQL}) AS n_tokens,
+             ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / GREATEST(length(text), 1)::DOUBLE, 6) AS punct_ratio,
+             ROUND(len(list_filter({_TOK_SQL}, t -> list_contains({_STOP_SQL}, t)))
+                   / GREATEST(len({_TOK_SQL}), 1)::DOUBLE, 6) AS stopword_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+                 + (CASE WHEN punct_ratio <= 0.2 THEN 0.3 ELSE 0.0 END)
+                 + ROUND(LEAST(stopword_ratio * 3, 0.3), 6), 6) AS quality
+    FROM ts
+    """,
+)
+def text_quality(spark, sf_dir):
+    return textops.quality_score(T(spark, sf_dir, "documents"))
+
+
+def _langid_sql(sf: str) -> str:
+    langs = sorted(textops.LANG_MARKERS)
+    score_exprs = ",\n".join(
+        f"len(list_filter({_TOK_SQL}, t -> list_contains(["
+        + ",".join(f"'{w}'" for w in textops.LANG_MARKERS[lang])
+        + f"], t))) AS score_{lang}"
+        for lang in langs
+    )
+    mx = "GREATEST(" + ",".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN {mx} > 0 AND score_{lang} = {mx} THEN '{lang}' ELSE {pred} END"
+    return f"""
+    WITH scored AS (SELECT doc_id, {score_exprs} FROM documents)
+    SELECT doc_id, {pred} AS pred_lang FROM scored
+    """
+
+
+@q("text_langid", _langid_sql)
+def text_langid(spark, sf_dir):
+    return textops.langid(T(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_fingerprint",
+    lambda sf: f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform({_TOK_SQL},
+                 t -> (('0x' || substr(md5(t), 1, 7))::UBIGINT)::BIGINT)),
+             (a, h) -> (a * 31 + h) % 2147483647) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    return textops.fingerprint(T(spark, sf_dir, "documents"))
+
+
+_SHINGLE_SQL = """
+  tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+  sh AS (SELECT doc_id,
+                list_distinct(list_transform(range(1, GREATEST(len(toks) - 2, 0) + 1),
+                              i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+         FROM tok),
+  shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+  sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shx GROUP BY doc_id),
+  inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+            FROM shx a JOIN shx b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+  pairs AS (SELECT doc_a, doc_b,
+                   n_inter / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+            FROM inter JOIN sizes na ON na.doc_id = doc_a
+                       JOIN sizes nb ON nb.doc_id = doc_b)
+"""
+
+
+@q(
+    "text_jaccard_pairs",
+    lambda sf: f"""
+    WITH {_SHINGLE_SQL}
+    SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
+    FROM pairs WHERE ROUND(jaccard, 6) >= 0.8
+    """,
+)
+def text_jaccard(spark, sf_dir):
+    return textops.jaccard_pairs(T(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _minhash_sql(sf: str, k: int = 16, band_size: int = 4, threshold: float = 0.7) -> str:
+    mins = ",\n".join(
+        f"MIN((('0x' || substr(md5('{i}:' || shingle), 1, 15))::UBIGINT)::BIGINT) AS mh{i}"
+        for i in range(k)
+    )
+    n_bands = k // band_size
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_id, md5("
+        + " || ',' || ".join(f"mh{b * band_size + j}" for j in range(band_size))
+        + ") AS band_hash FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH {_SHINGLE_SQL},
+    sig AS (SELECT doc_id, {mins} FROM shx GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b USING (band_id, band_hash)
+             WHERE a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b, ROUND(p.jaccard, 6) AS jaccard
+    FROM cand c JOIN pairs p USING (doc_a, doc_b)
+    WHERE ROUND(p.jaccard, 6) >= {threshold}
+    """
+
+
+@q("text_minhash_lsh_pairs", _minhash_sql)
+def text_minhash(spark, sf_dir):
+    return textops.minhash_lsh_pairs(T(spark, sf_dir, "documents"), threshold=0.7)
+
+
+@q("text_simhash_near_pairs")  # pandas-UDF hashing: rows-only check
+def text_simhash(spark, sf_dir):
+    return textops.simhash_near_pairs(T(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# =====================================================================
+# Vector similarity
+# =====================================================================
+
+
+@q(
+    "vec_cosine_topk",
+    lambda sf: """
+    WITH probes AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT p.probe_id, v.vec_id,
+             ROUND(list_dot_product(CAST(v.embedding AS DOUBLE[]), p.pv)
+                   / (sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(p.pv, p.pv))), 6) AS cosine
+      FROM embeddings v CROSS JOIN probes p
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT probe_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def vec_cosine_topk(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding")
+    )
+    return vectorops.cosine_topk(emb, probes, k=10)
+
+
+@q("vec_lsh_cosine_topk")  # approximate path: rows-only check
+def vec_lsh_topk(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding")
+    )
+    return vectorops.lsh_cosine_topk(emb, probes, dim=64, k=10, n_planes=6)
+
+
+# =====================================================================
+# gwv validation rules over the synthetic spans corpus
+# =====================================================================
+
+
+@q(
+    "gwv_numexp_violations",
+    lambda sf: f"""
+    WITH docs AS (SELECT * FROM {synth_docs_sql(sf)}),
+    lines AS (SELECT doc_id, unnest(spans, recursive := true) FROM docs),
+    cls AS (
+      SELECT doc_id, "offset", text,
+             list_filter(
+               list_transform(string_split(text, ':'),
+                 (c, i) -> CASE
+                   WHEN i = 8 AND string_split(text, ':')[1] = '99' THEN 0
+                   WHEN NOT regexp_matches(c, '^[+-]?[0-9](_?[0-9])*$') THEN 2
+                   WHEN CAST(CAST(replace(c, '_', '') AS BIGINT) AS VARCHAR) != c THEN 1
+                   ELSE 0 END),
+               x -> x > 0)[1] AS first_bad
+      FROM lines
+    )
+    SELECT doc_id, "offset", text AS line_text,
+           CASE WHEN text = '' THEN '0'
+                WHEN regexp_matches(text, '[^0-9a-z_:@-]') THEN '1'
+                WHEN first_bad = 2 THEN '2'
+                WHEN first_bad = 1 THEN '3' END AS errcode
+    FROM cls
+    WHERE (CASE WHEN text = '' THEN '0'
+                WHEN regexp_matches(text, '[^0-9a-z_:@-]') THEN '1'
+                WHEN first_bad = 2 THEN '2'
+                WHEN first_bad = 1 THEN '3' END) IS NOT NULL
+    """,
+)
+def gwv_numexp_q(spark, sf_dir):
+    from gwv_spark import engine
+    from gwv_spark.rules import numexp as numexp_mod
+
+    docs = synth_docs(spark, sf_dir)
+    ctx = engine.make_context(spark, docs)
+    return numexp_mod.classify(ctx.spans)
+
+
+@q(
+    "gwv_delquote_violations",
+    lambda sf: f"""
+    WITH docs AS (SELECT * FROM {synth_docs_sql(sf)}),
+    lines AS (SELECT doc_id, unnest(spans, recursive := true) FROM docs),
+    quotes AS (
+      SELECT DISTINCT doc_id, string_split(text, ':')[8] AS part_full,
+             media_ref AS part_base
+      FROM lines
+      WHERE kind = 'part' AND len(string_split(text, ':')) >= 8
+    )
+    SELECT q.doc_id, q.part_full
+    FROM quotes q LEFT JOIN docs d ON q.part_base = d.doc_id
+    WHERE d.doc_id IS NULL
+    """,
+)
+def gwv_delquote_q(spark, sf_dir):
+    from gwv_spark import engine
+    from gwv_spark.rules import delquote as delquote_mod
+
+    docs = synth_docs(spark, sf_dir)
+    ctx = engine.make_context(spark, docs)
+    return delquote_mod.missing_quotes(ctx)
+
+
+@q(
+    "gwv_corpus_profile",
+    lambda sf: f"""
+    WITH docs AS (SELECT * FROM {synth_docs_sql(sf)}),
+    cat AS (
+      SELECT doc_id, spans,
+        CASE WHEN contains(doc_id, '_') THEN 'user-owned'
+             WHEN regexp_matches(doc_id, '^(u2ff[0-9a-f]|u31ef)-.+$') THEN 'ids'
+             WHEN regexp_matches(doc_id, '^u([0-9a-f]{{4,6}})(-.+)?$') THEN (
+               CASE WHEN (
+                 {{TOGO}}
+                 OR cp IN ({{COMPAT}})
+                 OR (({{GOKAN}}) AND cp NOT IN ({{COMPAT}}))
+               ) THEN 'ucs-kanji' ELSE 'ucs-hikanji' END
+             )
+             WHEN regexp_matches(doc_id, '^(cdp[on]?)-([0-9a-f]{{4}})(-.+)?$') THEN 'cdp'
+             WHEN regexp_matches(doc_id, '^koseki-([0-9]{{6}})$') THEN 'koseki'
+             WHEN regexp_matches(doc_id, '^toki-([0-9]{{8}})$') THEN 'toki'
+             WHEN regexp_matches(doc_id, '^irg(2015|2017|2021)-([0-9]{{5}})$') THEN 'ext'
+             WHEN regexp_matches(doc_id, '^unstable-bsh-([0-9a-f]{{4}})$') THEN 'bsh'
+             ELSE 'other' END AS category,
+        (len(spans) = 1 AND starts_with(spans[1].text, '99:0:0:0:0:200:200:')
+         AND NOT contains(substr(spans[1].text, 20), ':')) AS is_alias
+      FROM (SELECT doc_id, spans,
+                   COALESCE(TRY_CAST(('0x' || regexp_extract(doc_id, '^u([0-9a-f]{{4,6}})(-.+)?$', 1)) AS UBIGINT), 0)::BIGINT AS cp
+            FROM docs)
+    )
+    SELECT category,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN is_alias THEN 1 ELSE 0 END) AS n_alias,
+           SUM(len(spans))::BIGINT AS n_spans
+    FROM cat
+    GROUP BY category
+    """.replace("{TOGO}", " OR ".join(
+        f"(cp BETWEEN {lo} AND {hi})"
+        for lo, hi in [
+            (0x3400, 0x4DBF), (0x4E00, 0x9FFF), (0x20000, 0x2A6DF),
+            (0x2A700, 0x2B73F), (0x2B740, 0x2B81D), (0x2B820, 0x2CEAD),
+            (0x2CEB0, 0x2EBE0), (0x2EBF0, 0x2EE5D), (0x30000, 0x3134A),
+            (0x31350, 0x323AF), (0x323B0, 0x33479),
+        ]
+    )).replace("{COMPAT}", ",".join(str(x) for x in [0xFA0E, 0xFA0F, 0xFA11, 0xFA13, 0xFA14, 0xFA1F, 0xFA21, 0xFA23, 0xFA24, 0xFA27, 0xFA28, 0xFA29])).replace(
+        "{GOKAN}", " OR ".join(
+            f"(cp BETWEEN {lo} AND {hi})"
+            for lo, hi in [(0xF900, 0xFA6D), (0xFA70, 0xFAD9), (0x2F800, 0x2FA1D)]
+        )
+    ),
+)
+def gwv_corpus_profile(spark, sf_dir):
+    from gwv_spark import derive
+
+    docs = derive.prepare(synth_docs(spark, sf_dir))
+    spans_count = docs.select("doc_id", "category", F.size("spans").alias("ns"), "is_alias")
+    return spans_count.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_alias").cast("int")).cast("bigint").alias("n_alias"),
+        F.sum("ns").cast("bigint").alias("n_spans"),
+    )

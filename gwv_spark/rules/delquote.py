@@ -21,8 +21,8 @@ from gwv_spark import parse
 from gwv_spark.rules import RuleContext, rule, shape, tag_s
 
 
-@rule("delquote")
-def delquote(ctx: RuleContext) -> DataFrame:
+def missing_quotes(ctx: RuleContext) -> DataFrame:
+    """Flat RI core: (doc_id, part_full) of dangling part quotes."""
     quotes = (
         ctx.spans.where(F.col("kind") == "part")
         .select(
@@ -34,7 +34,12 @@ def delquote(ctx: RuleContext) -> DataFrame:
         .dropDuplicates(["doc_id", "part_full"])
     )
     catalog = ctx.docs.select(F.col("doc_id").alias("part_base"))
-    missing = quotes.join(catalog, "part_base", "left_anti")
+    return quotes.join(catalog, "part_base", "left_anti").select("doc_id", "part_full")
+
+
+@rule("delquote")
+def delquote(ctx: RuleContext) -> DataFrame:
+    missing = missing_quotes(ctx)
     return shape(
         missing,
         "delquote",

@@ -25,9 +25,9 @@ from gwv_spark.rules import RuleContext, rule, shape, tag_line, default_sortkey
 _INVALID_CHAR_RE = "[^0-9a-z_:@-]"
 
 
-@rule("numexp")
-def numexp(ctx: RuleContext) -> DataFrame:
-    sp = ctx.spans
+def classify(spans_df: DataFrame) -> DataFrame:
+    """Flat per-line classification: (doc_id, offset, line_text, errcode)
+    for offending lines only."""
     cols = F.split(F.col("text"), ":", -1)
 
     # Per-column violation class: 0 ok / 1 non-canonical / 2 not-an-int,
@@ -54,11 +54,20 @@ def numexp(ctx: RuleContext) -> DataFrame:
         .when(first_bad == 1, F.lit("3"))
     )
 
-    out = sp.withColumn("errcode_", errcode).where(F.col("errcode_").isNotNull())
+    return (
+        spans_df.withColumn("errcode", errcode)
+        .where(F.col("errcode").isNotNull())
+        .select("doc_id", "offset", F.col("text").alias("line_text"), "errcode")
+    )
+
+
+@rule("numexp")
+def numexp(ctx: RuleContext) -> DataFrame:
+    out = classify(ctx.spans)
     return shape(
         out,
         "numexp",
-        F.col("errcode_"),
-        F.array(tag_line(F.col("offset"), F.col("text"))),
+        F.col("errcode"),
+        F.array(tag_line(F.col("offset"), F.col("line_text"))),
         default_sortkey(F.col("doc_id"), F.col("offset")),
     )

@@ -1,0 +1,315 @@
+"""Training-data text pipeline operators over a documents(text) table.
+
+All hot paths are Catalyst-native (split/explode/groupBy/join on JVM
+columns); hashing uses md5 (identical in Spark and DuckDB, which is what
+makes these operators oracle-checkable).  simhash uses a vectorized
+pandas UDF (bit-twiddling is numpy's home turf, Arrow-batched).
+
+Scale notes: every near-dup detector here avoids the O(n²) cross join —
+exact dedup is a hash groupBy; MinHash-LSH joins on band buckets;
+n-gram Jaccard joins on shared shingles (inverted-index join) with the
+pair aggregation shuffled on (doc_a, doc_b).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+# Small fixed marker lists per language (shared with the DuckDB oracle).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "is", "of", "and"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "una", "para"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), TOKEN_SPLIT_RE)
+
+
+def hash60(c: Column) -> Column:
+    """First 15 hex chars of md5 as a non-negative bigint (60 bits) —
+    reproducible verbatim in DuckDB: ('0x'||substr(md5(x),1,15))::ubigint."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------- profiling
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token count, char count, punctuation ratio, stopword
+    ratio, mean token length — the quality-scoring feature row."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_chars.cast("bigint").alias("n_chars"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
+        F.round(
+            (n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1)), 6
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic heuristic quality score in [0,1]: length band +
+    punctuation sanity + stopword presence (a C4/Gopher-style filter)."""
+    ts = token_stats(df, text_col, id_col)
+    len_ok = (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000)
+    punct_ok = F.col("punct_ratio") <= 0.2
+    score = (
+        F.when(len_ok, 0.4).otherwise(0.0)
+        + F.when(punct_ok, 0.3).otherwise(0.0)
+        + F.round(F.least(F.col("stopword_ratio") * 3, F.lit(0.3)), 6)
+    )
+    return ts.select("doc_id", F.round(score, 6).alias("quality"))
+
+
+def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-token language scorer: argmax of per-language marker hits,
+    deterministic tie-break by language code; 'und' when no marker hits."""
+    toks = tokens(F.col(text_col))
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(ws))).alias(f"score_{lang}")
+        for lang, ws in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select(F.col(id_col).alias("doc_id"), *scores)
+    langs = sorted(LANG_MARKERS)
+    # argmax with deterministic tie-break: first language (alphabetical)
+    # reaching the max score wins; no marker hits at all → 'und'
+    mx = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when((mx > 0) & (F.col(f"score_{lang}") == mx), F.lit(lang)).otherwise(pred)
+    return scored.select("doc_id", pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive rolling document fingerprint: fold
+    acc = (acc * 31 + h28(token)) mod (2^31 - 1) over the token sequence
+    (h28 = first 7 hex chars of md5).  Mirrors DuckDB's list_reduce."""
+    tok_h = F.transform(
+        tokens(F.col(text_col)),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("bigint"),
+    )
+    acc = F.aggregate(
+        tok_h,
+        F.lit(0).cast("bigint"),
+        lambda a, h: (a * 31 + h) % F.lit(2147483647).cast("bigint"),
+    )
+    return df.select(F.col(id_col).alias("doc_id"), acc.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------- dedup
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash — hash groupBy, one shuffle
+    keyed on the digest (uniformly distributed, no skew)."""
+    h = df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+    return (
+        h.groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc (the near-dup unit)."""
+    toks = tokens(F.col(text_col))
+    n_sh = F.size(toks) - n + 1
+    # guard: sequence(1, x) with x<1 would produce a DESCENDING range
+    sh = F.when(
+        n_sh > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_sh), lambda i: F.array_join(F.slice(toks, i, n), " ")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join:
+    explode distinct shingles → join on shingle (doc_a < doc_b) →
+    |∩| per pair → Jaccard with per-doc set sizes.  No cross join; the
+    shuffle is keyed on shingle then on the pair."""
+    sh = shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, k: int = 16, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """k-permutation MinHash over word n-gram shingles.  Hash family:
+    h_i(s) = hash60(i || ':' || s) — md5-derived so the DuckDB oracle can
+    reproduce it bit-for-bit."""
+    sh = shingles(df, n, text_col, id_col)
+    mins = [
+        F.min(hash60(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.7,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, verified by exact
+    Jaccard.  Candidate generation is a groupBy on (band_id, band_hash)
+    — the LSH bucket join — so cost scales with collisions, not n²."""
+    sig = minhash_signatures(df, k, n, text_col, id_col)
+    n_bands = k // band_size
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
+    cand = (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    exact = jaccard_pairs(df, 0.0, n, text_col, id_col).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    return cand.join(exact, ["doc_a", "doc_b"]).where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over tokens — vectorized pandas UDF (Arrow batch,
+    numpy bit ops).  Embarrassingly parallel; no shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(texts):
+        import hashlib
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for row, text in enumerate(texts):
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in (text or "").split():
+                h = np.uint64(
+                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                )
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            v = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    v |= 1 << i
+            # fold to signed 64
+            out[row] = v - (1 << 64) if v >= (1 << 63) else v
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("doc_id"), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k, using the
+    block-permutation trick: split the 64-bit hash into (k+1) blocks —
+    any pair within distance k shares at least one exact block, so the
+    candidate join is an equi-join on (block_id, block_value)."""
+    sh = simhash64(df, text_col, id_col)
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("block_val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.block_id", "b.block_val")
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "block_id", "block_val"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "block_id", "block_val"
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["block_id", "block_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,126 @@
+"""Local mirror of the driver's correctness gate: run each queries()
+entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare
+row-count + schema + order-insensitive value hash.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from gwv_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("check-correctness", cpus=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {str(e).splitlines()[0][:200]}")
+            n_fail += 1
+            continue
+        ok_cols = sorted(scols) == sorted(ocols)
+        ok_count = len(srows) == len(orows)
+        sh = value_hash(scols, srows)
+        oh = value_hash(ocols, orows)
+        ok_hash = sh == oh
+        if ok_cols and ok_count and ok_hash:
+            print(f"PASS {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            n_pass += 1
+        else:
+            print(
+                f"FAIL {name}: cols={ok_cols} count={ok_count} ({len(srows)} vs {len(orows)}) hash={ok_hash}"
+            )
+            if not ok_cols:
+                print(f"  spark cols: {scols}\n  oracle cols: {ocols}")
+            if ok_cols and not ok_hash:
+                # show first differing rows, columns aligned by name
+                si = sorted(range(len(scols)), key=lambda i: scols[i])
+                oi = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                sset = {tuple(norm_cell(r[i]) for i in si) for r in srows}
+                oset = {tuple(norm_cell(r[i]) for i in oi) for r in orows}
+                for r in list(sset - oset)[:3]:
+                    print(f"  spark-only:  {r}")
+                for r in list(oset - sset)[:3]:
+                    print(f"  oracle-only: {r}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
