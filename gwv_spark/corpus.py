@@ -26,6 +26,7 @@ from pathlib import Path
 
 DEFAULT_SEED = 42
 CORPUS_TS = 1700000000.0
+GEN_VERSION = 3  # bump when gen_record changes → fresh .synth cache dirs
 
 # gdata of a glyph that is itself deprecated: aliases of 'do-not-use'
 # (GlyphWiki convention; donotuse.py:27-34 checks for the literal string).
@@ -96,8 +97,8 @@ def gen_record(idx: int, n_docs: int, seed: int = DEFAULT_SEED):
             gdata = "0:-1:-1:-1"
         else:
             gdata = "$".join(_strokes(rng, rng.randrange(1, 5)))
-    elif b <= 10:  # 15%: ucs-kanji
-        name = _ucs_kanji_name(idx // 20)
+    elif b <= 10:  # 15%: ucs-kanji (3 slots per idx//20 → unique names)
+        name = _ucs_kanji_name(3 * (idx // 20) + (b - 8))
         r = rng.random()
         if r < 0.70:
             related = name
@@ -106,27 +107,48 @@ def gen_record(idx: int, n_docs: int, seed: int = DEFAULT_SEED):
         else:
             related = f"u{0x4E00 + rng.randrange(0x5200):04x}"
         gdata = "$".join(_strokes(rng, rng.randrange(1, 5)))
-    elif b == 11:  # 5%: ucs-hikanji
+    elif b == 11:  # 5%: ucs-hikanji (+ the IDC base glyphs, + bare-ucs aliases)
+        if idx == 11:
+            return "u2ff0", "u3013", "1:0:2:20:100:180:100"
+        if idx == 31:
+            return "u2ff1", "u3013", "1:0:0:100:20:100:180"
         cp = 0x0041 + (idx // 20) % 0x3000
         rep = (idx // 20) // 0x3000
         name = f"u{cp:04x}" if rep == 0 else f"u{cp:04x}-var-{rep:03d}"
-        gdata = "$".join(_strokes(rng, rng.randrange(1, 3)))
+        r2 = rng.random()
+        if rep == 0 and r2 < 0.06:  # bare ucs alias of a non-ucs target
+            gdata = f"99:0:0:0:0:200:200:koseki-{idx % 900000:06d}"
+        elif rep == 0 and r2 < 0.10:  # bare ucs alias of its own variant
+            gdata = f"99:0:0:0:0:200:200:{name}-var-001"
+        else:
+            gdata = "$".join(_strokes(rng, rng.randrange(1, 3)))
     elif b == 12:  # 5%: ucs variant (non-alias body)
         name = f"u{0x4E00 + (idx // 20) % 0x5200:04x}-var-{100 + (idx // 20) // 0x5200:03d}"
         gdata = "$".join(_strokes(rng, rng.randrange(1, 4)))
-    elif b == 13:  # 5%: aliases — mostly valid entity, some dangling
-        name = f"u{0x4E00 + (idx // 20) % 0x5200:04x}-itaiji-{100 + (idx // 20) // 0x5200:03d}"
-        if rng.random() < 0.10:
+    elif b == 13:  # 5%: aliases — valid/dangling/self-nomark/region cases
+        base = f"u{0x4E00 + (idx // 20) % 0x5200:04x}"
+        name = f"{base}-itaiji-{100 + (idx // 20) // 0x5200:03d}"
+        r2 = rng.random()
+        if r2 < 0.10:
             entity = f"none-{idx}"  # dangling
+        elif r2 < 0.25:
+            entity = base  # aliases its own nomark (ucsalias food)
+        elif r2 < 0.32:
+            name = f"{base}-g"  # region-source alias of the nomark
+            entity = base
+        elif r2 < 0.38:
+            # -var-2xx: disjoint from bucket-12's -var-1xx names
+            name = f"{base}-var-{200 + (idx // 20) // 0x5200:03d}"
+            entity = base
         else:
             k = (idx // 20) % max(1, _count_in_bucket(n_docs, 8))
-            entity = _ucs_kanji_name(_kth_idx_in_bucket(k, 8) // 20)
+            entity = _ucs_kanji_name(3 * k)
         gdata = f"99:0:0:0:0:200:200:{entity}"
     elif b == 14:  # 5%: ids compositions
         k1 = rng.randrange(max(1, _count_in_bucket(n_docs, 8)))
         k2 = rng.randrange(max(1, _count_in_bucket(n_docs, 9)))
-        p1 = _ucs_kanji_name(_kth_idx_in_bucket(k1, 8) // 20)
-        p2 = _ucs_kanji_name(_kth_idx_in_bucket(k2, 9) // 20)
+        p1 = _ucs_kanji_name(3 * k1)
+        p2 = _ucs_kanji_name(3 * k2 + 1)
         idc = rng.choice(["u2ff0", "u2ff1"])
         name = f"{idc}-{p1}-{p2}"
         if idc == "u2ff0":
@@ -137,9 +159,13 @@ def gen_record(idx: int, n_docs: int, seed: int = DEFAULT_SEED):
         knum = (idx - 15) % 900000  # koseki docs exist at idx ≡ 0..7 (mod 20)
         name = f"toki-00{knum:06d}"
         target = f"koseki-{knum:06d}"
-        if rng.random() < 0.8:
+        r2 = rng.random()
+        if r2 < 0.70:
             gdata = f"99:0:0:0:0:200:200:{target}"
-        else:
+        elif r2 < 0.85:  # alias of the wrong entity (kosekitoki code 1/2)
+            wrong = _ucs_kanji_name(3 * ((idx // 20) % 64))
+            gdata = f"99:0:0:0:0:200:200:{wrong}"
+        else:  # not an alias at all (code 0)
             gdata = "$".join(_strokes(rng, 2))
     elif b == 16:  # 5%: user-owned
         name = f"test_{idx}"
@@ -150,10 +176,14 @@ def gen_record(idx: int, n_docs: int, seed: int = DEFAULT_SEED):
         k = rng.randrange(max(1, _count_in_bucket(n_docs, 0)))
         target_idx = _kth_idx_in_bucket(k, 0)
         target = f"koseki-{target_idx % 900000:06d}"
-        if r < 0.60:
+        if r < 0.55:
             quote = target
-        elif r < 0.75:
+        elif r < 0.70:
             quote = f"{target}@{rng.randrange(1, 30)}"  # versioned (mustrenew)
+        elif r < 0.78 and idx >= 37:
+            # versioned quote of an earlier quoter — that base's own gdata
+            # may contain '@', exercising mustrenew's is_old branch
+            quote = f"quoter-{idx - 20}@{rng.randrange(1, 5)}"
         elif r < 0.90:
             quote = f"none-{idx}"  # dangling (delquote)
         else:  # quote a deprecated glyph (donotuse): idx ≡ 9 (mod 160)
@@ -218,7 +248,7 @@ def n_docs_for_sf_dir(sf_dir: str) -> int:
 
 def synth_dir_for(sf_dir: str, root: str | Path | None = None) -> Path:
     root = Path(root) if root else Path(__file__).resolve().parent.parent / ".synth"
-    return root / Path(sf_dir).name
+    return root / f"v{GEN_VERSION}" / Path(sf_dir).name
 
 
 def ensure_corpus(

@@ -8,7 +8,10 @@ import pytest
 from tests.parity import assert_parity, run_engine, run_reference
 
 # Rules runnable without the missing 3rd-party data files or network.
-PARITY_RULES_IMPLEMENTED = ["numexp", "delquote"]
+PARITY_RULES_IMPLEMENTED = [
+    "numexp", "delquote", "delvar", "order", "kosekitoki", "ucsalias",
+    "donotuse", "mustrenew", "skew",
+]
 
 
 @pytest.mark.parametrize("rule_id", PARITY_RULES_IMPLEMENTED)
