@@ -26,7 +26,7 @@ from pathlib import Path
 
 DEFAULT_SEED = 42
 CORPUS_TS = 1700000000.0
-GEN_VERSION = 3  # bump when gen_record changes → fresh .synth cache dirs
+GEN_VERSION = 4  # bump when gen_record changes → fresh .synth cache dirs
 
 # gdata of a glyph that is itself deprecated: aliases of 'do-not-use'
 # (GlyphWiki convention; donotuse.py:27-34 checks for the literal string).
@@ -91,7 +91,7 @@ def gen_record(idx: int, n_docs: int, seed: int = DEFAULT_SEED):
 
     if b <= 7:  # 40%: koseki docs — the skewed prefix band
         name = f"koseki-{idx % 900000:06d}" if idx < 900000 * 20 else f"kx{idx}-x"
-        if idx % 160 == 9:  # a few deprecated glyphs: alias of do-not-use
+        if idx % 160 == 3:  # a few deprecated glyphs: alias of do-not-use
             gdata = f"99:0:0:0:0:200:200:{_DNU}"
         elif idx % 80 == 3:  # blank docs
             gdata = "0:-1:-1:-1"
@@ -186,9 +186,9 @@ def gen_record(idx: int, n_docs: int, seed: int = DEFAULT_SEED):
             quote = f"quoter-{idx - 20}@{rng.randrange(1, 5)}"
         elif r < 0.90:
             quote = f"none-{idx}"  # dangling (delquote)
-        else:  # quote a deprecated glyph (donotuse): idx ≡ 9 (mod 160)
-            k2 = rng.randrange(max(1, 1 + (n_docs - 1 - 9) // 160))
-            quote = f"koseki-{(9 + 160 * k2) % 900000:06d}"
+        else:  # quote a deprecated glyph (donotuse): idx ≡ 3 (mod 160)
+            k2 = rng.randrange(max(1, 1 + (n_docs - 1 - 3) // 160))
+            quote = f"koseki-{(3 + 160 * k2) % 900000:06d}"
         lines = [f"99:0:0:{rng.randrange(50)}:{rng.randrange(50)}:150:150:{quote}"]
         lines += _strokes(rng, 1)  # keep it non-alias
         gdata = "$".join(lines)

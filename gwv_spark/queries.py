@@ -643,6 +643,92 @@ def gwv_delquote_q(spark, sf_dir):
     return delquote_mod.missing_quotes(ctx)
 
 
+def _rule_ctx(spark, sf_dir):
+    from gwv_spark import engine
+
+    return engine.make_context(spark, synth_docs(spark, sf_dir))
+
+
+def _untag(col):
+    return F.expr(f"substring({col}, 2)")
+
+
+@q("gwv_delvar_violations", lambda sf: __import__("gwv_spark.gwv_sql", fromlist=["x"]).delvar_sql(synth_docs_sql(sf)))
+def gwv_delvar_q(spark, sf_dir):
+    from gwv_spark import engine
+
+    v = engine.run_rules(_rule_ctx(spark, sf_dir), ["delvar"])
+    return v.select("doc_id", _untag("detail[0]").alias("base"))
+
+
+@q("gwv_order_violations", lambda sf: __import__("gwv_spark.gwv_sql", fromlist=["x"]).order_sql(synth_docs_sql(sf)))
+def gwv_order_q(spark, sf_dir):
+    from gwv_spark import engine
+
+    v = engine.run_rules(_rule_ctx(spark, sf_dir), ["order"])
+    return v.select("doc_id", "errcode", _untag("detail[0]").alias("part_name"))
+
+
+@q("gwv_kosekitoki_violations", lambda sf: __import__("gwv_spark.gwv_sql", fromlist=["x"]).kosekitoki_sql(synth_docs_sql(sf)))
+def gwv_kosekitoki_q(spark, sf_dir):
+    from gwv_spark import engine
+
+    v = engine.run_rules(_rule_ctx(spark, sf_dir), ["kosekitoki"])
+    params = F.nullif(
+        F.array_join(F.transform(F.col("detail"), lambda x: F.substring(x, 2, 1 << 30)), "|"),
+        F.lit(""),
+    )
+    return v.select("doc_id", "errcode", params.alias("params"))
+
+
+@q("gwv_ucsalias_violations", lambda sf: __import__("gwv_spark.gwv_sql", fromlist=["x"]).ucsalias_sql(synth_docs_sql(sf)))
+def gwv_ucsalias_q(spark, sf_dir):
+    from gwv_spark import engine
+
+    v = engine.run_rules(_rule_ctx(spark, sf_dir), ["ucsalias"])
+    return v.select(
+        "doc_id",
+        "errcode",
+        F.when(F.size("detail") > 0, _untag("detail[0]")).alias("entity_param"),
+    )
+
+
+@q("gwv_donotuse_violations", lambda sf: __import__("gwv_spark.gwv_sql", fromlist=["x"]).donotuse_sql(synth_docs_sql(sf)))
+def gwv_donotuse_q(spark, sf_dir):
+    from gwv_spark import engine
+
+    v = engine.run_rules(_rule_ctx(spark, sf_dir), ["donotuse"])
+    parts = F.array_join(F.transform(F.col("detail"), lambda x: F.substring(x, 2, 1 << 30)), "|")
+    return v.select("doc_id", parts.alias("parts"))
+
+
+@q("gwv_mustrenew_violations", lambda sf: __import__("gwv_spark.gwv_sql", fromlist=["x"]).mustrenew_sql(synth_docs_sql(sf)))
+def gwv_mustrenew_q(spark, sf_dir):
+    from gwv_spark import engine
+
+    v = engine.run_rules(_rule_ctx(spark, sf_dir), ["mustrenew"])
+    quoters = F.array_join(F.transform(F.col("detail"), lambda x: F.substring(x, 2, 1 << 30)), "|")
+    return v.select(F.col("doc_id").alias("part_name"), "errcode", quoters.alias("quoters"))
+
+
+@q("gwv_skew_violations", lambda sf: __import__("gwv_spark.gwv_sql", fromlist=["x"]).skew_sql(synth_docs_sql(sf)))
+def gwv_skew_q(spark, sf_dir):
+    from gwv_spark.rules import skew as skew_mod
+
+    out = skew_mod.classify(_rule_ctx(spark, sf_dir))
+    return out.select(
+        "doc_id", "offset", F.col("text").alias("line_text"), F.col("errcode_").alias("errcode")
+    )
+
+
+@q("gwv_illegal_violations")  # rows-only: the 132-branch SQL mirror isn't worth the risk
+def gwv_illegal_q(spark, sf_dir):
+    from gwv_spark import engine
+
+    v = engine.run_rules(_rule_ctx(spark, sf_dir), ["illegal"])
+    return v.select("doc_id", "errcode", F.col("sortkey").alias("detail_key"))
+
+
 @q(
     "gwv_corpus_profile",
     lambda sf: f"""

@@ -30,8 +30,9 @@ def _deg(c):
     return c * F.lit(180.0) / F.lit(_PI)
 
 
-@rule("skew")
-def skew(ctx: RuleContext) -> DataFrame:
+def classify(ctx: RuleContext) -> DataFrame:
+    """Flat per-line classification: (doc_id, offset, text, errcode_,
+    angle) for offending lines."""
     sp = ctx.spans.where(
         (~F.col("is_alias")) & (F.col("category") != "user-owned")
     ).withColumn("d", parse.int_data(F.col("text")))
@@ -42,12 +43,12 @@ def skew(ctx: RuleContext) -> DataFrame:
         F.sequence(F.lit(0), n_pairs - 1),
         lambda i: F.get(d, 3 + i * 2).isNotNull() & F.get(d, 4 + i * 2).isNotNull(),
     )
-    sp = sp.where(d[0].isin(1, 3, 4, 7)).where(n_pairs >= F.when(d[0] == 1, 2).otherwise(3))
+    sp = sp.where(F.get(d, 0).isin(1, 3, 4, 7)).where(n_pairs >= F.when(F.get(d, 0) == 1, 2).otherwise(3))
     sp = sp.where(pair_ok)
 
-    x0, y0 = d[3], d[4]
-    x1, y1 = d[5], d[6]
-    x2, y2 = d[7], d[8]
+    x0, y0 = F.get(d, 3), F.get(d, 4)
+    x1, y1 = F.get(d, 5), F.get(d, 6)
+    x2, y2 = F.get(d, 7), F.get(d, 8)
 
     # stype 1
     xdif = F.abs(x0 - x1)
@@ -102,22 +103,27 @@ def skew(ctx: RuleContext) -> DataFrame:
     )
 
     errcode = (
-        F.when(d[0] == 1, t1_code)
-        .when(d[0] == 3, t3_code)
-        .when(d[0] == 4, t4_code)
-        .when(d[0] == 7, t7_code)
+        F.when(F.get(d, 0) == 1, t1_code)
+        .when(F.get(d, 0) == 3, t3_code)
+        .when(F.get(d, 0) == 4, t4_code)
+        .when(F.get(d, 0) == 7, t7_code)
     )
     angle = (
-        F.when(d[0] == 1, t1_angle)
-        .when(d[0] == 3, t3_angle)
-        .when(d[0] == 4, t4_angle)
-        .when(d[0] == 7, t7_angle)
+        F.when(F.get(d, 0) == 1, t1_angle)
+        .when(F.get(d, 0) == 3, t3_angle)
+        .when(F.get(d, 0) == 4, t4_angle)
+        .when(F.get(d, 0) == 7, t7_angle)
     )
-    out = (
+    return (
         sp.withColumn("errcode_", errcode)
         .withColumn("angle", angle)
         .where(F.col("errcode_").isNotNull())
     )
+
+
+@rule("skew")
+def skew(ctx: RuleContext) -> DataFrame:
+    out = classify(ctx)
     detail = F.when(
         F.col("angle").isNotNull(),
         F.array(tag_line(F.col("offset"), F.col("text")), tag_f(F.col("angle"))),

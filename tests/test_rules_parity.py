@@ -10,7 +10,7 @@ from tests.parity import assert_parity, run_engine, run_reference
 # Rules runnable without the missing 3rd-party data files or network.
 PARITY_RULES_IMPLEMENTED = [
     "numexp", "delquote", "delvar", "order", "kosekitoki", "ucsalias",
-    "donotuse", "mustrenew", "skew",
+    "donotuse", "mustrenew", "skew", "illegal",
 ]
 
 
