@@ -26,7 +26,7 @@ from pathlib import Path
 
 DEFAULT_SEED = 42
 CORPUS_TS = 1700000000.0
-GEN_VERSION = 4  # bump when gen_record changes → fresh .synth cache dirs
+GEN_VERSION = 5  # bump when gen_record changes → fresh .synth cache dirs
 
 # gdata of a glyph that is itself deprecated: aliases of 'do-not-use'
 # (GlyphWiki convention; donotuse.py:27-34 checks for the literal string).
@@ -122,8 +122,15 @@ def gen_record(idx: int, n_docs: int, seed: int = DEFAULT_SEED):
             gdata = f"99:0:0:0:0:200:200:{name}-var-001"
         else:
             gdata = "$".join(_strokes(rng, rng.randrange(1, 3)))
-    elif b == 12:  # 5%: ucs variant (non-alias body)
-        name = f"u{0x4E00 + (idx // 20) % 0x5200:04x}-var-{100 + (idx // 20) // 0x5200:03d}"
+    elif b == 12:  # 5%: ucs variant bodies + a band of gokan compat glyphs
+        k = idx // 20
+        if k % 37 == 5 and (k // 37) < 40:
+            name = f"uf9{k // 37:02x}"  # gokan kanji (related: compat variant)
+            expected = f"u{0x4E00 + 7 * (k // 37):04x}"
+            r2 = rng.random()
+            related = expected if r2 < 0.6 else ("u3013" if r2 < 0.8 else name)
+        else:
+            name = f"u{0x4E00 + k % 0x5200:04x}-var-{100 + k // 0x5200:03d}"
         gdata = "$".join(_strokes(rng, rng.randrange(1, 4)))
     elif b == 13:  # 5%: aliases — valid/dangling/self-nomark/region cases
         base = f"u{0x4E00 + (idx // 20) % 0x5200:04x}"
@@ -151,10 +158,24 @@ def gen_record(idx: int, n_docs: int, seed: int = DEFAULT_SEED):
         p2 = _ucs_kanji_name(3 * k2 + 1)
         idc = rng.choice(["u2ff0", "u2ff1"])
         name = f"{idc}-{p1}-{p2}"
-        if idc == "u2ff0":
+        r2 = rng.random()
+        if r2 > 0.96:  # unknown-IDC food (ids code 90 via the u2ffe typo)
+            name = f"u2ffe-{p1}-{p2}"
             gdata = f"99:0:0:0:0:100:200:{p1}-01$99:0:0:100:0:200:200:{p2}-02"
+        elif idc == "u2ff0":
+            if r2 < 0.12:  # right part first (ids code 2)
+                gdata = f"99:0:0:0:0:100:200:{p1}-02$99:0:0:100:0:200:200:{p2}-01"
+            elif r2 < 0.24:  # left kanji not first (ids code 3)
+                gdata = f"99:0:0:0:0:100:200:{p2}-01$99:0:0:100:0:200:200:{p1}-02"
+            else:
+                gdata = f"99:0:0:0:0:100:200:{p1}-01$99:0:0:100:0:200:200:{p2}-02"
         else:
-            gdata = f"99:0:0:0:0:200:100:{p1}-02$99:0:0:0:100:200:200:{p2}-01"
+            if r2 < 0.12:  # bottom part first (ids code 12)
+                gdata = f"99:0:0:0:0:200:100:{p1}-04$99:0:0:0:100:200:200:{p2}-03"
+            elif r2 < 0.24:  # top kanji not first (ids code 13)
+                gdata = f"99:0:0:0:0:200:100:{p2}-03$99:0:0:0:100:200:200:{p1}-04"
+            else:
+                gdata = f"99:0:0:0:0:200:100:{p1}-03$99:0:0:0:100:200:200:{p2}-04"
     elif b == 15:  # 5%: toki docs, tied to koseki entries
         knum = (idx - 15) % 900000  # koseki docs exist at idx ≡ 0..7 (mod 20)
         name = f"toki-00{knum:06d}"

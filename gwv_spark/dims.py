@@ -1,0 +1,134 @@
+"""Dimension inputs for the config-driven rules.
+
+The reference ships two YAML config files (naming.yaml, jv.yaml), builds
+two JSON dims at package-build time from Unicode sources (cjksrc, mj),
+and lazily scrapes several GlyphWiki wiki groups over HTTP
+(helper.py:157-183).  The engine takes ALL of these as input tables /
+plain dicts — no network, per the north rule.  Deterministic synthetic
+fixtures below stand in for the build-time and network dims; the YAML
+configs are read from an explicit path (defaulting to the reference's
+copies when present, since they are runtime *data*, not code).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+REFERENCE_DATA = Path("/root/reference/gwv/data")
+
+# ------------------------------------------------------------------ yaml
+
+def load_naming_rules(path: str | Path | None = None) -> dict[str, dict]:
+    """{ruleset: {'strings': set[str], 'regex': str|None}} — regex is the
+    '|'-joined alternation, fullmatch semantics (naming.py:46-58)."""
+    import yaml
+
+    p = Path(path) if path else REFERENCE_DATA / "naming.yaml"
+    if not p.exists():
+        return {
+            k: {"strings": set(), "regex": None}
+            for k in ["rule", "rule-novar", "rule-nohenka", "rule-novar-nohenka",
+                      "dont-create", "deprecated-rule"]
+        }
+    data = yaml.safe_load(p.read_text())
+    out = {}
+    for key, value in data.items():
+        patterns = value.get("regex", []) or []
+        out[key] = {
+            "strings": set(value.get("string", []) or []),
+            "regex": "|".join(patterns) if patterns else None,
+        }
+    return out
+
+
+def load_jv_config(path: str | Path | None = None) -> dict:
+    """{'no_use_part': {part: replacement}, 'no_apply': [names]}
+    (jv.yaml via j.py:80-99)."""
+    import yaml
+
+    p = Path(path) if path else REFERENCE_DATA / "jv.yaml"
+    if not p.exists():
+        return {"no_use_part": {}, "no_apply": []}
+    data = yaml.safe_load(p.read_text())
+    return {
+        "no_use_part": dict(data.get("no-use-part", {}) or {}),
+        "no_apply": list(data.get("no-apply-jv", []) or []),
+    }
+
+
+# ----------------------------------------------------------- fixtures
+
+def synth_cjksrc(n_docs: int = 5000) -> dict[str, list[str | None]]:
+    """Deterministic stand-in for data/3rd/cjksrc.json: {ucs: 12 columns}
+    (helper.py:199-242).  Covers the corpus's kanji band with varied
+    region-source patterns, plus compat-variant rows for uf9xx."""
+    out: dict[str, list[str | None]] = {}
+    for k in range(0, 600):
+        cp = 0x4E00 + k
+        ucs = f"u{cp:04x}"
+        row: list[str | None] = [None] * 12
+        if k % 3 != 2:
+            row[0] = f"G0-{k:04d}"  # G source
+        if k % 4 != 3:
+            row[2] = f"J0-{k:04d}"  # J source
+        if k % 5 == 0:
+            row[3] = f"K0-{k:04d}"
+        if k % 7 == 0:
+            row[5] = f"V0-{k:04d}"
+        out[ucs] = row
+    # compatibility ideographs uf900.. → variant back into the URO band
+    for k in range(0, 40):
+        ucs = f"uf9{k:02x}"
+        row = [None] * 12
+        row[11] = f"U+{0x4E00 + 7 * k:04X}"
+        out[ucs] = row
+    return out
+
+
+def synth_groups() -> dict[str, list[str]]:
+    """Deterministic stand-in for the GlyphWiki wiki groups the reference
+    fetches over HTTP (helper.py:157-183; users: j.py:68, width.py:44-50,
+    naming.py:66-71)."""
+    halfwidth_bmp = [f"u00{0x41 + i:02x}" for i in range(16)] + ["uff61"]
+    cdp_pairs: list[str] = []
+    for i in range(8):
+        cdp_pairs += [f"cdp-8c{0x40 + i:02x}", f"u{0x4E40 + i:04x}"]
+    return {
+        "HalfwidthGlyphs-BMP": halfwidth_bmp,
+        "HalfwidthGlyphs-SMP": [f"u1d5{0x38 + i:02x}" for i in range(4)],
+        "HalfwidthGlyphs-nonUCS": ["halfsign-x", "halfsign-y"],
+        "HalfwidthGlyphs-sans": [f"u00{0x61 + i:02x}-sans" for i in range(4)],
+        "NonSpacingGlyphs-Halfwidth": [f"u03{i:02x}" for i in range(4)],
+        "UCSで符号化されたCDP外字": cdp_pairs,
+        "原規格分離": [f"u{0x4E00 + 9 * i:04x}" for i in range(30)],
+    }
+
+
+def default_dims() -> dict:
+    """The standard dims bundle used when the caller supplies none:
+    YAML configs + the synthetic fixtures (mirrors what
+    patch_reference_loaders injects into the reference for parity)."""
+    return {
+        "naming_rules": load_naming_rules(),
+        "jv": load_jv_config(),
+        "groups": synth_groups(),
+        "cjksrc": synth_cjksrc(),
+    }
+
+
+def patch_reference_loaders(groups: dict[str, list[str]] | None = None,
+                            cjksrc: dict | None = None) -> None:
+    """Inject the fixtures into an imported reference copy so the
+    differential tests never touch the network or missing build data.
+    Must run before gwv.validators.{naming,width,j,related,mj} import."""
+    import gwv.helper as H
+
+    groups = groups if groups is not None else synth_groups()
+    cjksrc = cjksrc if cjksrc is not None else synth_cjksrc()
+
+    def load(self):  # replaces GWGroupLazyLoader.load (helper.py:173-178)
+        glyphs = groups.get(self.groupname, [])
+        self.data = set(glyphs) if self.isset else list(glyphs)
+
+    H.GWGroupLazyLoader.load = load
+    H.cjk_sources.data = cjksrc

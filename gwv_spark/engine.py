@@ -43,7 +43,11 @@ def make_context(
 ) -> RuleContext:
     docs = derive.prepare(documents)
     spans = derive.exploded_spans(docs)
-    return RuleContext(spark=spark, docs=docs, spans=spans, attrs=attrs, dims=dims or {})
+    if dims is None:
+        from gwv_spark.dims import default_dims
+
+        dims = default_dims()
+    return RuleContext(spark=spark, docs=docs, spans=spans, attrs=attrs, dims=dims)
 
 
 def empty_violations(spark: SparkSession) -> DataFrame:

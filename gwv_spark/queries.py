@@ -646,7 +646,9 @@ def gwv_delquote_q(spark, sf_dir):
 def _rule_ctx(spark, sf_dir):
     from gwv_spark import engine
 
-    return engine.make_context(spark, synth_docs(spark, sf_dir))
+    d = ensure_corpus_for_sf_dir(sf_dir)
+    attrs = spark.read.parquet(str(d / "doc_attrs.parquet"))
+    return engine.make_context(spark, synth_docs(spark, sf_dir), attrs=attrs)
 
 
 def _untag(col):
@@ -719,6 +721,32 @@ def gwv_skew_q(spark, sf_dir):
     return out.select(
         "doc_id", "offset", F.col("text").alias("line_text"), F.col("errcode_").alias("errcode")
     )
+
+
+@q("gwv_related_violations")  # rows-only: needs the cjksrc dim inlined in SQL
+def gwv_related_q(spark, sf_dir):
+    from gwv_spark import engine
+
+    v = engine.run_rules(_rule_ctx(spark, sf_dir), ["related"])
+    params = F.array_join(F.transform(F.col("detail"), lambda x: F.substring(x, 2, 1 << 30)), "|")
+    return v.select("doc_id", "errcode", params.alias("params"))
+
+
+@q("gwv_ids_violations")  # rows-only: entity-join + IDS token walk
+def gwv_ids_q(spark, sf_dir):
+    from gwv_spark import engine
+
+    v = engine.run_rules(_rule_ctx(spark, sf_dir), ["ids"])
+    return v.select("doc_id", "errcode", F.col("sortkey").alias("detail_key"))
+
+
+@q("gwv_naming_violations")  # rows-only: YAML rule tiers + reduction loop
+def gwv_naming_q(spark, sf_dir):
+    from gwv_spark import engine
+
+    v = engine.run_rules(_rule_ctx(spark, sf_dir), ["naming"])
+    params = F.array_join(F.transform(F.col("detail"), lambda x: F.substring(x, 2, 1 << 30)), "|")
+    return v.select("doc_id", "errcode", params.alias("params"))
 
 
 @q("gwv_illegal_violations")  # rows-only: the 132-branch SQL mirror isn't worth the risk

@@ -34,7 +34,7 @@ def order(ctx: RuleContext) -> DataFrame:
         & (~F.col("has_transform"))
         & (F.col("n_spans") > 1)
     )
-    first_text = F.col("spans")[0]["text"]
+    first_text = F.get(F.col("spans"), 0)["text"]
     last_text = F.element_at(F.col("spans"), -1)["text"]
     d = docs.select(
         "doc_id",

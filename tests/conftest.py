@@ -28,6 +28,12 @@ def reference_gwv():
         pytest.skip("reference repo not available")
     sys.path.insert(0, str(REFERENCE))
     import gwv.dump  # noqa: F401
+
+    # inject network/build-time dims BEFORE any validator module imports
+    # (naming.py builds cdp_dict over HTTP at import time)
+    from gwv_spark.dims import patch_reference_loaders
+
+    patch_reference_loaders()
     import gwv.validator  # noqa: F401
 
     return sys.modules["gwv"]

@@ -17,7 +17,7 @@ from tests.parity import assert_parity, run_engine, run_reference
 
 FUZZ_RULES = [
     "numexp", "delquote", "delvar", "order", "kosekitoki", "ucsalias",
-    "donotuse", "mustrenew", "skew", "illegal",
+    "donotuse", "mustrenew", "skew", "illegal", "related", "ids", "naming",
 ]
 
 INT_TOKENS = [
@@ -85,6 +85,9 @@ def _fuzz_records(seed: int, n: int):
         + [f"u4e{i:02x}-g" for i in range(6)]
         + [f"fuzz-{i}" for i in range(20)]
         + [f"user_{i}" for i in range(6)]
+        + [f"u2ff{i % 2}-u4e{i:02x}-u4e{i + 1:02x}" for i in range(8)]
+        + [f"uf9{i:02x}" for i in range(6)]  # gokan compat (related rule)
+        + ["u2ffe-u4e00-u4e01", "cdp-8c42", "j78-3021", "j78-2120"]
     )
     names = rng.sample(name_pool, min(n, len(name_pool)))
     recs = []
@@ -95,7 +98,8 @@ def _fuzz_records(seed: int, n: int):
             gdata = "$".join(
                 _rand_line(rng, name_pool) for _ in range(rng.randrange(1, 5))
             )
-        recs.append((name, "u3013", gdata))
+        related = rng.choice(["u3013", "u3013", name, rng.choice(name_pool)])
+        recs.append((name, related, gdata))
     return recs
 
 
@@ -113,5 +117,10 @@ def test_fuzz_parity(spark, reference_gwv, seed):
         rows,
         "doc_id STRING, spans ARRAY<STRUCT<kind:STRING,text:STRING,media_ref:STRING,offset:INT>>",
     )
-    eng = run_engine(spark, df, FUZZ_RULES)
+    from gwv_spark.corpus import CORPUS_TS
+
+    attrs = spark.createDataFrame(
+        [(n, r, CORPUS_TS) for n, r, _ in recs], "doc_id STRING, related STRING, ts DOUBLE"
+    )
+    eng = run_engine(spark, df, FUZZ_RULES, attrs_df=attrs)
     assert_parity(ref, eng, FUZZ_RULES)
