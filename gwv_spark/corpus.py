@@ -26,7 +26,7 @@ from pathlib import Path
 
 DEFAULT_SEED = 42
 CORPUS_TS = 1700000000.0
-GEN_VERSION = 5  # bump when gen_record changes → fresh .synth cache dirs
+GEN_VERSION = 6  # bump when gen_record changes → fresh .synth cache dirs
 
 # gdata of a glyph that is itself deprecated: aliases of 'do-not-use'
 # (GlyphWiki convention; donotuse.py:27-34 checks for the literal string).
@@ -146,6 +146,12 @@ def gen_record(idx: int, n_docs: int, seed: int = DEFAULT_SEED):
         elif r2 < 0.38:
             # -var-2xx: disjoint from bucket-12's -var-1xx names
             name = f"{base}-var-{200 + (idx // 20) // 0x5200:03d}"
+            entity = base
+        elif r2 < 0.44:  # region tail -jv (j rule: codes 30/5/…)
+            name = f"{base}-jv"
+            entity = base
+        elif r2 < 0.50:  # region tail -j (j rule: code 40 when no J source)
+            name = f"{base}-j"
             entity = base
         else:
             k = (idx // 20) % max(1, _count_in_bucket(n_docs, 8))

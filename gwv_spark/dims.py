@@ -51,7 +51,8 @@ def load_jv_config(path: str | Path | None = None) -> dict:
         return {"no_use_part": {}, "no_apply": []}
     data = yaml.safe_load(p.read_text())
     return {
-        "no_use_part": dict(data.get("no-use-part", {}) or {}),
+        # {use: [no_use, ...]} — j.py:81-86 inverts this through alias closures
+        "no_use_part": {k: list(v or []) for k, v in (data.get("no-use-part", {}) or {}).items()},
         "no_apply": list(data.get("no-apply-jv", []) or []),
     }
 
@@ -104,6 +105,34 @@ def synth_groups() -> dict[str, list[str]]:
     }
 
 
+def synth_mj() -> list[list]:
+    """Deterministic stand-in for data/3rd/mj.json (mj.py:192-207):
+    rows of 13 fields (jmj, koseki, juki, nyukan, x0213, x0212, ucs, ivs,
+    svs, toki, dkw, shincho, sdjt); values str | list[str] | None.
+
+    Rows 0-39 are internally consistent with the synthetic corpus's
+    koseki/toki/ucs naming; rows 40-59 cross-wire koseki keys so toki
+    aliases hit the WRONG_ENTITY branch; a few rows carry compat-UCS or
+    list-valued columns to exercise get()'s branches."""
+    rows: list[list] = []
+    for i in range(60):
+        row: list = [None] * 13
+        row[0] = f"{i:06d}" if i % 5 != 4 else f"09{i:04d}"  # jmj
+        if i < 40:
+            row[1] = f"{i * 8:06d}"  # koseki, aligned
+        else:
+            row[1] = f"{(i - 40) * 8:06d}"  # cross-wired to an earlier row
+        row[9] = f"00{i * 8:06d}"  # toki
+        if i % 7 == 3:
+            row[6] = [f"{0x4E00 + i:04x}", f"f9{i % 40:02x}"]  # list + compat
+        elif i % 3 != 2:
+            row[6] = f"{0x4E00 + i:04x}"  # ucs
+        if i % 11 == 6:
+            row[4] = f"1-{0x3021 + i:04x}"  # x0213 plane 1
+        rows.append(row)
+    return rows
+
+
 def default_dims() -> dict:
     """The standard dims bundle used when the caller supplies none:
     YAML configs + the synthetic fixtures (mirrors what
@@ -113,6 +142,7 @@ def default_dims() -> dict:
         "jv": load_jv_config(),
         "groups": synth_groups(),
         "cjksrc": synth_cjksrc(),
+        "mj": synth_mj(),
     }
 
 
@@ -132,3 +162,15 @@ def patch_reference_loaders(groups: dict[str, list[str]] | None = None,
 
     H.GWGroupLazyLoader.load = load
     H.cjk_sources.data = cjksrc
+
+    # the missing build-time JSON dims (bdat/): serve fixtures instead
+    real_load = H.load_package_data
+
+    def load_package_data(name):
+        if name == "data/3rd/cjksrc.json":
+            return cjksrc
+        if name == "data/3rd/mj.json":
+            return synth_mj()
+        return real_load(name)
+
+    H.load_package_data = load_package_data

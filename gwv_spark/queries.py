@@ -749,6 +749,31 @@ def gwv_naming_q(spark, sf_dir):
     return v.select("doc_id", "errcode", params.alias("params"))
 
 
+@q("gwv_j_violations")  # rows-only: alias-closure dims + multi-source joins
+def gwv_j_q(spark, sf_dir):
+    from gwv_spark import engine
+
+    v = engine.run_rules(_rule_ctx(spark, sf_dir), ["j"])
+    params = F.array_join(F.transform(F.col("detail"), lambda x: F.substring(x, 2, 1 << 30)), "|")
+    return v.select("doc_id", "errcode", params.alias("params"))
+
+
+@q("gwv_mj_violations")  # rows-only: MJ cross-reference joins
+def gwv_mj_q(spark, sf_dir):
+    from gwv_spark import engine
+
+    v = engine.run_rules(_rule_ctx(spark, sf_dir), ["mj"])
+    return v.select("doc_id", "errcode")
+
+
+@q("gwv_width_violations")  # rows-only: order-dependent extent fold
+def gwv_width_q(spark, sf_dir):
+    from gwv_spark import engine
+
+    v = engine.run_rules(_rule_ctx(spark, sf_dir), ["width"])
+    return v.select("doc_id", "errcode")
+
+
 @q("gwv_illegal_violations")  # rows-only: the 132-branch SQL mirror isn't worth the risk
 def gwv_illegal_q(spark, sf_dir):
     from gwv_spark import engine

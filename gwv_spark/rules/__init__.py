@@ -113,6 +113,10 @@ def decode_detail(elem: str):
         return int(rest)
     if tag == "F":
         return float(rest)
+    if tag == "N":
+        return None
+    if tag == "A":  # list of strings, US-separated
+        return rest.split("\x1f") if rest else []
     if tag == "L":
         off, _, text = rest.partition(":")
         return [int(off), text]

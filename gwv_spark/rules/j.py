@@ -1,0 +1,241 @@
+"""j — region-source consistency for J-ish glyphs (j.py:73-195).
+
+Setup (j.py:79-99) becomes two derived dimension DataFrames built from
+the jv.yaml config expanded through alias closures over the corpus:
+  no_use(part → preferred replacement)   and   no_apply(part set).
+Alias closure of a name = {name} ∪ {docs whose raw alias target is name}
+(dump.get_alias_of, dump.py:63-75).
+
+Main pass per glyph (gate: category ∈ {ucs-kanji, ext, bsh}):
+  region/henka parsed from the name tail; source columns via broadcast
+  join against the cjksrc dim; codes 30/31/40/41/5; nomark-entity
+  equality → 0; j/jv coexistence → 1; banned-part scan of the checked
+  entity's spans → 2 (first offending part in line order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gwv_spark.derive import RE_UCS, is_gokan_kanji_cp
+from gwv_spark.rules import RuleContext, entity_checked, rule, shape, tag_s
+from gwv_spark.rules.order import RE_REGIONS
+
+_RE_REGION_OPTHENKA = "^-(" + RE_REGIONS + r")([0-9]{2})?$"
+_REGION2COL = {
+    "g": 0, "t": 1, "j": 2, "k": 3, "kp": 4, "v": 5,
+    "h": 6, "m": 7, "u": 8, "s": 9, "uk": 10,
+}
+
+
+def _alias_closure(ctx: RuleContext, seeds: DataFrame, key: str) -> DataFrame:
+    """{seed} ∪ {doc_id : raw entity target == seed}; keeps seed columns."""
+    aliases = ctx.docs.where(F.col("entity_ref").isNotNull()).select(
+        F.col("entity_ref").alias(key), F.col("doc_id").alias("__alias")
+    )
+    via_alias = seeds.join(aliases, key).withColumn(key + "_m", F.col("__alias")).drop("__alias")
+    direct = seeds.withColumn(key + "_m", F.col(key))
+    return direct.unionByName(via_alias)
+
+
+def _cjksrc_df(ctx: RuleContext):
+    rows = [
+        (ucs, cols[2], cols[3]) + tuple(cols[i] for i in range(11))
+        for ucs, cols in ctx.dims.get("cjksrc", {}).items()
+    ]
+    ddl = "ucs STRING, jsource STRING, ksource STRING, " + ", ".join(
+        f"src{i} STRING" for i in range(11)
+    )
+    if not rows:
+        rows = [("",) + (None,) * 13]
+    return ctx.spark.createDataFrame(rows, ddl)
+
+
+@rule("j")
+def j(ctx: RuleContext) -> DataFrame:
+    jv = ctx.dims.get("jv", {"no_use_part": {}, "no_apply": []})
+    groups = ctx.dims.get("groups", {})
+    source_sep = sorted(groups.get("原規格分離", []))
+
+    # ---- setup dims (j.py:79-99)
+    no_use_rows = [
+        (no_use, use) for use, no_uses in jv["no_use_part"].items() for no_use in no_uses
+    ] or [("", "")]
+    no_use_seeds = ctx.spark.createDataFrame(no_use_rows, "part STRING, use STRING")
+    no_use = (
+        _alias_closure(ctx, no_use_seeds, "part")
+        .select(F.col("part_m").alias("banned"), "use")
+        .dropDuplicates(["banned"])
+    )
+    no_apply_re = (
+        "^(" + "|".join(jv["no_apply"]) + ")(-(" + RE_REGIONS + r")([0-9]{2})?$|(-[0-9]{2})?(-var-[0-9]{3})?)$"
+        if jv["no_apply"]
+        else None
+    )
+    if no_apply_re:
+        na_seeds = ctx.docs.where(F.col("doc_id").rlike(no_apply_re)).select(
+            F.col("doc_id").alias("part")
+        )
+    else:
+        na_seeds = ctx.spark.createDataFrame([], "part STRING")
+    no_apply = (
+        _alias_closure(ctx, na_seeds, "part")
+        .select(F.col("part_m").alias("na_part"))
+        .dropDuplicates()
+    )
+
+    # ---- per-glyph frame
+    docs = ctx.docs.where(F.col("category").isin("ucs-kanji", "ext", "bsh")).select(
+        "doc_id", "category", "is_alias", "entity_ref"
+    )
+    docs = entity_checked(ctx, docs, "entity")
+    ucs_hex = F.regexp_extract(F.col("doc_id"), RE_UCS, 1)
+    docs = docs.withColumn(
+        "ucs", F.when(ucs_hex != "", F.concat(F.lit("u"), ucs_hex))
+    ).withColumn(
+        "tail",
+        F.when(
+            F.col("ucs").isNotNull(), F.expr("substring(doc_id, length(ucs) + 1)")
+        ),
+    )
+    cjk = _cjksrc_df(ctx)
+    docs = docs.join(F.broadcast(cjk), docs["ucs"] == cjk["ucs"], "left").drop(cjk["ucs"])
+
+    # nomark attributes (existence + raw entity)
+    nomark = ctx.docs.select(
+        F.col("doc_id").alias("ucs"),
+        F.coalesce(F.col("entity_ref"), F.col("doc_id")).alias("nomark_entity"),
+    )
+    docs = docs.join(nomark, "ucs", "left")
+    exists_j = ctx.docs.select(F.concat(F.col("doc_id"), F.lit("#")).alias("__k")).withColumn("has", F.lit(True))
+    # uxxxx-j / uxxxx-ja existence probes
+    jprobe = ctx.docs.select(F.col("doc_id").alias("__jname")).withColumn("has_j", F.lit(True))
+    japrobe = ctx.docs.select(F.col("doc_id").alias("__janame")).withColumn("has_ja", F.lit(True))
+    docs = docs.join(
+        jprobe, F.concat(F.col("ucs"), F.lit("-j")) == F.col("__jname"), "left"
+    ).drop("__jname")
+    docs = docs.join(
+        japrobe, F.concat(F.col("ucs"), F.lit("-ja")) == F.col("__janame"), "left"
+    ).drop("__janame")
+
+    # ---- checkJV per entity: banned/no-apply part scan (j.py:101-113)
+    parts = ctx.spans.where(F.col("kind") == "part").select(
+        F.col("doc_id").alias("entity"), "offset", F.col("media_ref").alias("pbase")
+    )
+    has_na = (
+        parts.join(no_apply, parts["pbase"] == no_apply["na_part"])
+        .select("entity")
+        .dropDuplicates()
+        .withColumn("ent_has_no_apply", F.lit(True))
+    )
+    first_banned = (
+        parts.join(F.broadcast(no_use), parts["pbase"] == no_use["banned"])
+        .groupBy("entity")
+        .agg(
+            F.min(F.struct(F.col("offset"), F.col("banned"), F.col("use"))).alias("fb")
+        )
+        .select(
+            "entity",
+            F.col("fb.banned").alias("banned_part"),
+            F.col("fb.use").alias("preferred_part"),
+        )
+    )
+    docs = docs.join(has_na, "entity", "left").join(first_banned, "entity", "left")
+    check_jv_code = F.when(
+        F.col("ent_has_no_apply").isNull() & F.col("banned_part").isNotNull(), F.lit("2")
+    )
+
+    # ucs itself in no_apply set (j.py:131, 193)
+    ucs_na = no_apply.select(F.col("na_part").alias("ucs")).withColumn(
+        "ucs_no_apply", F.lit(True)
+    )
+    docs = docs.join(ucs_na, "ucs", "left")
+
+    region = F.regexp_extract(F.col("tail"), _RE_REGION_OPTHENKA, 1)
+    is_henka = F.regexp_extract(F.col("tail"), _RE_REGION_OPTHENKA, 2) != ""
+    docs = docs.withColumn("region", F.nullif(region, F.lit(""))).withColumn(
+        "is_henka", is_henka
+    )
+    in_source_sep = F.col("ucs").isin(source_sep) if source_sep else F.lit(False)
+    gokan = is_gokan_kanji_cp(F.conv(F.expr("substring(ucs, 2)"), 16, 10).cast("long"))
+    no_source = F.when(F.col("is_henka"), F.lit("41")).otherwise(F.lit("40"))
+
+    region_src = F.lit(None).cast("string")
+    for r, i in sorted(_REGION2COL.items()):
+        region_src = F.when(F.col("region") == r, F.col(f"src{i}")).otherwise(region_src)
+
+    # source-check stage (j.py:143-170); NULL = fall through, '' = return False
+    FALSE_ = F.lit("~")  # sentinel: reference returned False
+    src_stage = (
+        F.when(
+            F.col("region") == "jv",
+            F.when(F.col("jsource").isNotNull(), F.lit("30"))
+            .when(in_source_sep, F.lit("5")),
+        )
+        .when(
+            F.col("region") == "kv",
+            F.when(F.col("ksource").isNotNull(), F.lit("31")),
+        )
+        .when(F.col("region").isin("gv", "tv", "vv", "hv", "jn"), FALSE_)
+        .when(
+            F.col("region").isin("j", "ja"),
+            F.when(F.col("jsource").isNull(), no_source),
+        )
+        .when(
+            F.col("region").isin(*sorted(_REGION2COL)),
+            F.when(region_src.isNull(), no_source),
+        )
+        .otherwise(FALSE_)  # -i, -us, -js
+    )
+
+    # post-source stage for j/ja/jv (j.py:172-195)
+    nomark_diff = (
+        F.col("nomark_entity").isNotNull()  # ucs in dump
+        & (F.col("entity") != F.col("nomark_entity"))
+        & (~F.col("is_henka"))
+    )
+    jv_tail_stage = (
+        F.when(F.col("nomark_entity").isNull(), F.lit(None))  # 無印が見つからない
+        .when(nomark_diff, F.lit("0"))
+        .when(F.col("region") != "jv", F.lit(None))
+        .when(F.col("has_j").isNotNull(), F.lit("1j"))
+        .when(F.col("has_ja").isNotNull(), F.lit("1ja"))
+        .when(F.col("ucs_no_apply").isNull(), check_jv_code)
+    )
+
+    errcode = (
+        F.when(F.col("category").isin("bsh", "ext"), check_jv_code)
+        .when(F.col("ucs").isNull(), F.lit(None))
+        .when(
+            F.col("tail") == "",
+            F.when(gokan, F.lit(None)).when(
+                F.col("jsource").isNull()
+                & F.col("ucs_no_apply").isNull()
+                & (~in_source_sep),
+                check_jv_code,
+            ),
+        )
+        .when(F.col("region").isNull(), F.lit(None))
+        .when(src_stage.isNotNull(), src_stage)
+        .when(~F.col("region").isin("j", "ja", "jv"), F.lit(None))
+        .otherwise(jv_tail_stage)
+    )
+    d = (
+        docs.withColumn("errcode_", errcode)
+        .where(F.col("errcode_").isNotNull() & (F.col("errcode_") != "~"))
+    )
+    final_code = (
+        F.when(F.col("errcode_") == "1j", F.lit("1"))
+        .when(F.col("errcode_") == "1ja", F.lit("1"))
+        .otherwise(F.col("errcode_"))
+    )
+    detail = (
+        F.when(F.col("errcode_") == "2", F.array(tag_s(F.col("banned_part")), tag_s(F.col("preferred_part"))))
+        .when(F.col("errcode_") == "30", F.array(tag_s(F.col("jsource"))))
+        .when(F.col("errcode_") == "31", F.array(tag_s(F.col("ksource"))))
+        .when(F.col("errcode_") == "1j", F.array(tag_s(F.lit("j"))))
+        .when(F.col("errcode_") == "1ja", F.array(tag_s(F.lit("ja"))))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return shape(d, "j", final_code, detail)

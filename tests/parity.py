@@ -31,11 +31,20 @@ def canon(result: dict) -> dict:
     violation rows by their JSON serialization (the reference's row order
     inside an errcode depends on dict/set iteration details we do not
     promise to reproduce)."""
+    def norm_param(p):
+        # set-derived list params (e.g. mj expected sets) have no defined
+        # order in the reference — sort all-string lists on both sides
+        if isinstance(p, (list, tuple)) and all(isinstance(x, str) for x in p):
+            return sorted(p)
+        if isinstance(p, tuple):
+            return list(p)
+        return p
+
     out = {}
     for rule, payload in result.items():
         res = {}
         for code, rows in payload["result"].items():
-            res[code] = sorted(json.dumps(list(r)) for r in rows)
+            res[code] = sorted(json.dumps([norm_param(x) for x in r]) for r in rows)
         out[rule] = {"timestamp": payload["timestamp"], "result": res}
     return out
 

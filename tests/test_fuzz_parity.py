@@ -18,6 +18,7 @@ from tests.parity import assert_parity, run_engine, run_reference
 FUZZ_RULES = [
     "numexp", "delquote", "delvar", "order", "kosekitoki", "ucsalias",
     "donotuse", "mustrenew", "skew", "illegal", "related", "ids", "naming",
+    "j", "mj", "width",
 ]
 
 INT_TOKENS = [
