@@ -26,7 +26,7 @@ from pathlib import Path
 
 DEFAULT_SEED = 42
 CORPUS_TS = 1700000000.0
-GEN_VERSION = 6  # bump when gen_record changes → fresh .synth cache dirs
+GEN_VERSION = 7  # bump when gen_record changes → fresh .synth cache dirs
 
 # gdata of a glyph that is itself deprecated: aliases of 'do-not-use'
 # (GlyphWiki convention; donotuse.py:27-34 checks for the literal string).
@@ -221,7 +221,9 @@ def gen_record(idx: int, n_docs: int, seed: int = DEFAULT_SEED):
         gdata = "$".join(lines)
     elif b == 18:  # 5%: geometry patterns (dup / skew / corner)
         name = f"geom-{idx}"
-        g = rng.randrange(4)
+        if idx % 9 == 0:  # some under G/T-design names (corner.py:510-511,803-828)
+            name = f"zihai-{idx % 1000000:06d}" if (idx // 20) % 2 == 0 else f"twedu-a{idx:05d}"
+        g = rng.randrange(8)
         if g == 0:  # near-duplicate horizontal pair (dup.py:101-118)
             y = rng.randrange(30, 170)
             d = rng.randrange(0, 4)
@@ -234,10 +236,46 @@ def gen_record(idx: int, n_docs: int, seed: int = DEFAULT_SEED):
             y = rng.randrange(30, 170)
             d = rng.randrange(1, 4)
             gdata = f"1:0:2:10:{y}:190:{y + d}"
-        else:  # L-corner: vertical meets horizontal (corner rule food)
+        elif g == 3:  # L-corner: vertical meets horizontal
             x, y = rng.randrange(30, 120), rng.randrange(30, 120)
             jx = rng.randrange(-2, 3)
             gdata = f"1:0:0:{x}:{y}:{x}:{y + 80}$1:2:2:{x + jx}:{y + 80}:{x + 80}:{y + 80}"
+        elif g == 4:  # jittered corner pair over the tolerance-box grid
+            x, y = rng.randrange(40, 120), rng.randrange(40, 120)
+            ht = rng.choice([12, 22, 32, 0])
+            tt = rng.choice([13, 23, 313, 413, 32, 0, 24])
+            jx, jy = rng.randrange(-9, 10), rng.randrange(-7, 6)
+            w = rng.randrange(40, 80)
+            gdata = (
+                f"1:{ht}:{tt}:{x}:{y}:{x}:{y + 80}"
+                f"$1:0:2:{x + jx}:{y + 80 + jy}:{x + jx + w}:{y + 80 + jy}"
+            )
+        elif g == 5:  # T-joint: vertical endpoint on a horizontal middle
+            x, y = rng.randrange(60, 140), rng.randrange(40, 140)
+            jy = rng.randrange(-6, 7)
+            ht = rng.choice([0, 32, 12, 22])
+            gdata = (
+                f"1:2:2:{x - 50}:{y}:{x + 50}:{y}"
+                f"$1:{ht}:0:{x}:{y + jy}:{x}:{y + 70 + jy}"
+            )
+        elif g == 6:  # ⊢-joint: horizontal endpoint on a vertical middle
+            x, y = rng.randrange(40, 120), rng.randrange(50, 130)
+            jx = rng.randrange(-8, 9)
+            tt = rng.choice([0, 2, 32])
+            gdata = (
+                f"1:0:0:{x}:{y - 40}:{x}:{y + 60}"
+                f"$1:0:{tt}:{x + jx}:{y}:{x + 70}:{y}"
+            )
+        else:  # box 口 with jittered corners (preemption / ZH-corner food)
+            x, y = rng.randrange(40, 90), rng.randrange(40, 90)
+            w, h = rng.randrange(50, 90), rng.randrange(50, 90)
+            j = lambda: rng.randrange(-3, 4)  # noqa: E731
+            gdata = (
+                f"1:12:13:{x}:{y}:{x}:{y + h}"
+                f"$1:22:23:{x + w + j()}:{y + j()}:{x + w}:{y + h}"
+                f"$1:2:2:{x + j()}:{y}:{x + w}:{y + j()}"
+                f"$1:2:2:{x + j()}:{y + h + j()}:{x + w + j()}:{y + h}"
+            )
     else:  # 5%: malformed spans (numexp / illegal food)
         name = f"bad-{idx}"
         g = rng.randrange(5)
@@ -247,8 +285,10 @@ def gen_record(idx: int, n_docs: int, seed: int = DEFAULT_SEED):
             gdata = "1:0:2:10:100:190:100 $1:0:2:10:120:190:120"
         elif g == 2:  # non-canonical int
             gdata = f"1:0:2:0{rng.randrange(10, 99)}:100:190:100"
-        elif g == 3:  # wrong arity for stroke type 2
-            gdata = "2:0:7:10:10:100:100"
+        elif g == 3:  # wrong arity for stroke type 2 (too many columns —
+            # too few would crash the reference's corner validator,
+            # corner.py:216 indexes coords[2] unconditionally)
+            gdata = "2:0:7:10:10:50:50:100:100:0"
         else:  # unknown stroke type
             gdata = "8:0:0:10:10:100:100"
     return name, related, gdata

@@ -782,6 +782,23 @@ def gwv_illegal_q(spark, sf_dir):
     return v.select("doc_id", "errcode", F.col("sortkey").alias("detail_key"))
 
 
+@q("gwv_dup_violations")  # rows-only: per-doc sorted-scan geometry UDF (dup.py:146-211)
+def gwv_dup_q(spark, sf_dir):
+    from gwv_spark import engine
+
+    v = engine.run_rules(_rule_ctx(spark, sf_dir), ["dup"])
+    return v.select("doc_id", "errcode", F.col("sortkey").alias("detail_key"))
+
+
+@q("gwv_corner_violations")  # rows-only: connection-graph UDF (corner.py:729-831)
+def gwv_corner_q(spark, sf_dir):
+    from gwv_spark import engine
+
+    v = engine.run_rules(_rule_ctx(spark, sf_dir), ["corner"])
+    params = F.array_join(F.transform(F.col("detail"), lambda x: F.substring(x, 2, 1 << 30)), "|")
+    return v.select("doc_id", "errcode", params.alias("params"))
+
+
 @q(
     "gwv_corpus_profile",
     lambda sf: f"""

@@ -12,7 +12,7 @@ from tests.parity import assert_parity, run_engine, run_reference
 PARITY_RULES_IMPLEMENTED = [
     "numexp", "delquote", "delvar", "order", "kosekitoki", "ucsalias",
     "donotuse", "mustrenew", "skew", "illegal", "related", "ids", "naming",
-    "j", "mj", "width",
+    "j", "mj", "width", "dup", "corner",
 ]
 
 
