@@ -30,7 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
     interleaved corpus at sf0.001 and return the violations table."""
     sf_dir = "/root/testdata/sf0.001"
     docs = Q.synth_docs(spark, sf_dir)
-    ctx = engine.make_context(spark, docs)
+    ctx = engine.make_context(spark, docs, cache=True)
     return engine.run_rules(ctx)
 
 

@@ -79,8 +79,8 @@ def main() -> None:
     docs = Q.synth_docs(spark, SF_DIR)
     n_docs = n_docs_for_sf_dir(SF_DIR)
     t0 = time.time()
-    ctx = engine.make_context(spark, docs)
-    force(engine.run_rules(ctx))
+    ctx = engine.make_context(spark, docs, cache=True)
+    engine.run_rules_concurrent(ctx)
     validate_sec = time.time() - t0
     timings["validate_full_suite"] = round(validate_sec, 3)
 

@@ -117,8 +117,15 @@ def prepare(documents: DataFrame) -> DataFrame:
 
 
 def exploded_spans(prepared: DataFrame) -> DataFrame:
-    """One row per span, keeping the shared per-doc attributes.  Rules
-    that need parsed integer columns get them here once."""
+    """One row per span, keeping the shared per-doc attributes.
+
+    The parsed integer columns (``d``, KAGE semantics) and the raw part
+    reference (``part_full``) are computed HERE, once — the reference
+    parses each line once into ``KageLine.data`` (kagedata.py:65-80) and
+    every validator reads that; rules re-deriving the parse per
+    expression would re-run the per-column regex for every rule (~10×
+    the work).  At ingest on a real deployment these land as stored
+    columns of the Iceberg spans table."""
     df = prepared.select(
         "doc_id",
         "category",
@@ -135,4 +142,6 @@ def exploded_spans(prepared: DataFrame) -> DataFrame:
         F.col("span.text").alias("text"),
         F.col("span.media_ref").alias("media_ref"),
         F.col("span.offset").alias("offset"),
-    ).drop("span", "pos")
+    ).drop("span", "pos").withColumn(
+        "d", parse.int_data(F.col("text"))
+    ).withColumn("part_full", parse.part_name_full(F.col("text")))

@@ -24,8 +24,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gwv_spark import stats, textops, vectorops
-from gwv_spark.corpus import ensure_corpus_for_sf_dir, synth_dir_for
+from gwv_spark import mediaops, stats, textops, vectorops
+from gwv_spark.corpus import ensure_corpus_for_sf_dir, n_docs_for_sf_dir, synth_dir_for
 
 
 @dataclass
@@ -576,6 +576,73 @@ def vec_lsh_topk(spark, sf_dir):
 
 
 # =====================================================================
+# Multimodal media (binary payload + typed metadata)
+# =====================================================================
+
+
+def _n_media(sf_dir: str) -> int:
+    return max(100, n_docs_for_sf_dir(sf_dir) // 5)
+
+
+def synth_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = mediaops.ensure_media(synth_dir_for(sf_dir), _n_media(sf_dir))
+    return spark.read.parquet(str(d / "media.parquet"))
+
+
+def _media_sql(sf_dir: str, name: str = "media") -> str:
+    return f"read_parquet('{synth_dir_for(sf_dir)}/{name}.parquet')"
+
+
+@q(
+    "media_profile",
+    lambda sf: f"""
+    SELECT kind, COUNT(*) AS n_media,
+           SUM(octet_length(data))::BIGINT AS total_bytes,
+           SUM(meta.width)::BIGINT AS sum_width,
+           SUM(meta.duration_ms)::BIGINT AS sum_duration_ms
+    FROM {_media_sql(sf)} GROUP BY kind
+    """,
+)
+def media_profile(spark, sf_dir):
+    m = synth_media_df(spark, sf_dir)
+    return m.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.length("data")).cast("bigint").alias("total_bytes"),
+        F.sum("meta.width").cast("bigint").alias("sum_width"),
+        F.sum("meta.duration_ms").cast("bigint").alias("sum_duration_ms"),
+    )
+
+
+@q("media_features")  # rows-only: decode-dependent (mapInPandas fake codec)
+def media_features_q(spark, sf_dir):
+    return mediaops.media_features(synth_media_df(spark, sf_dir))
+
+
+@q("media_frame_sample")  # rows-only: row-expanding mapInPandas
+def media_frames_q(spark, sf_dir):
+    return mediaops.sample_frames(synth_media_df(spark, sf_dir), every_n=2)
+
+
+@q(
+    "media_ri_dangling",
+    lambda sf: f"""
+    SELECT m.media_id AS media_ref, COUNT(*) AS n_refs
+    FROM {_media_sql(sf)} m
+    LEFT JOIN {_media_sql(sf, "media_catalog")} c ON m.media_id = c.media_id
+    WHERE c.media_id IS NULL
+    GROUP BY m.media_id
+    """,
+)
+def media_ri_q(spark, sf_dir):
+    m = synth_media_df(spark, sf_dir)
+    d = mediaops.ensure_media(synth_dir_for(sf_dir), _n_media(sf_dir))
+    cat = spark.read.parquet(str(d / "media_catalog.parquet"))
+    return mediaops.media_ri(
+        m.select(F.col("media_id").alias("media_ref")), cat, catalog_rows=_n_media(sf_dir)
+    )
+
+
+# =====================================================================
 # gwv validation rules over the synthetic spans corpus
 # =====================================================================
 
@@ -780,6 +847,68 @@ def gwv_illegal_q(spark, sf_dir):
 
     v = engine.run_rules(_rule_ctx(spark, sf_dir), ["illegal"])
     return v.select("doc_id", "errcode", F.col("sortkey").alias("detail_key"))
+
+
+def _snapshot_sql(tbl: str) -> str:
+    return f"""
+      SELECT 'span_len_hist' AS metric, len(spans)::VARCHAR AS bucket,
+             COUNT(*)::DOUBLE AS n
+      FROM {tbl} GROUP BY 2
+      UNION ALL
+      SELECT 'kind_freq', kind, COUNT(*)::DOUBLE
+      FROM (SELECT unnest(spans, recursive := true) FROM {tbl}) GROUP BY 2
+    """
+
+
+@q(
+    "gwv_corpus_snapshot",
+    lambda sf: f"""
+    WITH docs AS (SELECT * FROM {synth_docs_sql(sf)}),
+    h AS ({_snapshot_sql("docs")}),
+    nr AS (
+      SELECT 'media_ref_null_rate' AS metric, 'all' AS bucket,
+             ROUND(SUM(CASE WHEN media_ref IS NULL THEN 1 ELSE 0 END)
+                   / COUNT(*)::DOUBLE, 6) AS n
+      FROM (SELECT unnest(spans, recursive := true) FROM docs)
+    )
+    SELECT metric, bucket, n AS value FROM h
+    UNION ALL SELECT metric, bucket, n FROM nr
+    """,
+)
+def gwv_corpus_snapshot_q(spark, sf_dir):
+    from gwv_spark import derive
+
+    docs = derive.prepare(synth_docs(spark, sf_dir))
+    return stats.corpus_snapshot(docs, derive.exploded_spans(docs))
+
+
+@q(
+    "gwv_corpus_drift_psi",
+    lambda sf: f"""
+    WITH docs AS (SELECT * FROM {synth_docs_sql(sf)}),
+    basedocs AS (SELECT * FROM docs WHERE substr(md5(doc_id), 1, 1) <= '7'),
+    cur_h AS ({_snapshot_sql("docs")}),
+    base_h AS ({_snapshot_sql("basedocs")}),
+    grid AS (SELECT DISTINCT metric, bucket FROM
+             (SELECT metric, bucket FROM cur_h UNION SELECT metric, bucket FROM base_h)),
+    j AS (SELECT g.metric, g.bucket, COALESCE(c.n, 0) AS n_cur, COALESCE(b.n, 0) AS n_base
+          FROM grid g LEFT JOIN cur_h c ON c.metric = g.metric AND c.bucket = g.bucket
+                      LEFT JOIN base_h b ON b.metric = g.metric AND b.bucket = g.bucket),
+    tot AS (SELECT metric, SUM(n_cur) AS tc, SUM(n_base) AS tb FROM j GROUP BY 1)
+    SELECT j.metric,
+           ROUND(SUM((n_cur/tc + 0.0001 - n_base/tb - 0.0001)
+                 * LN((n_cur/tc + 0.0001) / (n_base/tb + 0.0001))), 6) AS psi
+    FROM j JOIN tot ON tot.metric = j.metric GROUP BY 1
+    """,
+)
+def gwv_corpus_drift_q(spark, sf_dir):
+    from gwv_spark import derive
+
+    docs = derive.prepare(synth_docs(spark, sf_dir))
+    base = docs.where(F.substring(F.md5(F.col("doc_id")), 1, 1) <= "7")
+    cur_snap = stats.corpus_snapshot(docs, derive.exploded_spans(docs))
+    base_snap = stats.corpus_snapshot(base, derive.exploded_spans(base))
+    return stats.snapshot_psi(cur_snap, base_snap)
 
 
 @q("gwv_dup_violations")  # rows-only: per-doc sorted-scan geometry UDF (dup.py:146-211)

@@ -27,7 +27,7 @@ def missing_quotes(ctx: RuleContext) -> DataFrame:
         ctx.spans.where(F.col("kind") == "part")
         .select(
             "doc_id",
-            parse.part_name_full(F.col("text")).alias("part_full"),
+            F.col("part_full"),  # shared parsed column (derive.exploded_spans)
             F.col("media_ref").alias("part_base"),
         )
         .where(F.col("part_full").isNotNull())

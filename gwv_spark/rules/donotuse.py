@@ -26,7 +26,7 @@ def donotuse(ctx: RuleContext) -> DataFrame:
         .select(
             "doc_id",
             "offset",
-            parse.part_name_full(F.col("text")).alias("part_full"),
+            F.col("part_full"),  # shared parsed column (derive.exploded_spans)
             F.col("media_ref").alias("part_base"),
         )
         .where(F.col("part_full").isNotNull())

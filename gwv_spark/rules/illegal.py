@@ -147,12 +147,12 @@ def _line_errcode(is_hikanji: Column) -> Column:
     return F.when(st == 99, e99).when(st == 0, e0).otherwise(estroke)
 
 
-def _span_alias_class(t: Column) -> Column:
+def _span_alias_class(d: Column) -> Column:
     """'F' fail / 'P' pass / 'Q' no-effect 200x200 quote
-    (is_alias_like, illegal.py:102-138)."""
-    d = parse.int_data(t)
+    (is_alias_like, illegal.py:102-138) — over the shared parsed int
+    array, no re-parse."""
     dn = F.size(d)
-    st = parse.kage_int(F.get(F.split(t, ":", -1), 0))
+    st = F.get(d, 0)
     coords_200 = (
         (dn >= 7)
         & (F.get(d, 3) == 0) & (F.get(d, 4) == 0) & (F.get(d, 5) == 200) & (F.get(d, 6) == 200)
@@ -181,8 +181,8 @@ def _span_alias_class(t: Column) -> Column:
     )
 
 
-def _span_blank_ok(t: Column) -> Column:
-    st = parse.kage_int(F.get(F.split(t, ":", -1), 0))
+def _span_blank_ok(d: Column) -> Column:
+    st = F.get(d, 0)
     return ~(
         st.isNull() | (st < 0) | (st == 99) | (st % 100).isin(1, 2, 3, 4, 6, 7)
     )
@@ -193,10 +193,9 @@ def illegal(ctx: RuleContext) -> DataFrame:
     # ---- per-line codes
     sp = (
         ctx.spans.where(F.col("category") != "user-owned")
-        .withColumn("d", parse.int_data(F.col("text")))
         .withColumn("errcode_", _line_errcode(F.col("is_hikanji")))
         .where(F.col("errcode_").isNotNull())
-    )
+    )  # 'd' = shared parsed int columns (derive.exploded_spans)
     prefix3 = F.array_join(F.slice(F.split(F.col("text"), ":", -1), 1, 3), ":")
     line_v = shape(
         sp,
@@ -206,17 +205,31 @@ def illegal(ctx: RuleContext) -> DataFrame:
         F.concat(prefix3, F.lit("#"), F.col("doc_id"), F.lit("#"), F.lpad(F.col("offset").cast("string"), 6, "0")),
     )
 
-    # ---- whole-record codes (fold over the spans array, no explode)
-    docs = ctx.docs.where(F.col("category") != "user-owned")
-    classes = F.transform(F.col("spans"), lambda s: _span_alias_class(s["text"]))
-    alias_like = (~F.exists(classes, lambda c: c == "F")) & (
-        F.size(F.filter(classes, lambda c: c == "Q")) == 1
+    # ---- whole-record codes, aggregated from the shared parsed spans
+    # (HOF re-parse over docs.spans would re-run the per-column regex
+    # per rule; the groupBy below reuses the cached `d` arrays)
+    cls = _span_alias_class(F.col("d"))
+    per_doc = (
+        ctx.spans.where(F.col("category") != "user-owned")
+        .groupBy("doc_id")
+        .agg(
+            F.first("is_alias").alias("is_alias_"),
+            F.first("n_spans").alias("n_spans_"),
+            F.max((cls == "F").cast("int")).alias("any_f"),
+            F.sum((cls == "Q").cast("int")).alias("n_q"),
+            F.min(_span_blank_ok(F.col("d")).cast("int")).alias("all_blank"),
+            F.max(
+                ((F.col("offset") == 0) & (F.col("text") == "0:-1:-1:-1")).cast("int")
+            ).alias("first_blank"),
+        )
     )
-    blank_like = F.forall(F.col("spans"), lambda s: _span_blank_ok(s["text"]))
-    rec = docs.select(
+    exact_blank = (F.col("n_spans_") == 1) & (F.col("first_blank") == 1)
+    rec = per_doc.select(
         "doc_id",
-        ((~F.col("is_alias")) & alias_like).alias("is_alias_like"),
-        (blank_like & (F.col("gdata") != "0:-1:-1:-1")).alias("is_blank_like"),
+        ((~F.col("is_alias_")) & (F.col("any_f") == 0) & (F.col("n_q") == 1)).alias(
+            "is_alias_like"
+        ),
+        ((F.col("all_blank") == 1) & ~exact_blank).alias("is_blank_like"),
     )
     alias_v = shape(
         rec.where(F.col("is_alias_like")),

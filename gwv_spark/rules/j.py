@@ -102,22 +102,39 @@ def j(ctx: RuleContext) -> DataFrame:
     cjk = _cjksrc_df(ctx)
     docs = docs.join(F.broadcast(cjk), docs["ucs"] == cjk["ucs"], "left").drop(cjk["ucs"])
 
-    # nomark attributes (existence + raw entity)
-    nomark = ctx.docs.select(
+    # nomark attributes (existence + raw entity) and uxxxx-j / uxxxx-ja
+    # existence probes — three lookups keyed by the same nomark name,
+    # folded into ONE aggregated probe frame and one join (three
+    # full-corpus shuffle joins otherwise)
+    nm = ctx.docs.select(
         F.col("doc_id").alias("ucs"),
         F.coalesce(F.col("entity_ref"), F.col("doc_id")).alias("nomark_entity"),
+        F.lit(None).cast("boolean").alias("has_j"),
+        F.lit(None).cast("boolean").alias("has_ja"),
     )
-    docs = docs.join(nomark, "ucs", "left")
-    exists_j = ctx.docs.select(F.concat(F.col("doc_id"), F.lit("#")).alias("__k")).withColumn("has", F.lit(True))
-    # uxxxx-j / uxxxx-ja existence probes
-    jprobe = ctx.docs.select(F.col("doc_id").alias("__jname")).withColumn("has_j", F.lit(True))
-    japrobe = ctx.docs.select(F.col("doc_id").alias("__janame")).withColumn("has_ja", F.lit(True))
-    docs = docs.join(
-        jprobe, F.concat(F.col("ucs"), F.lit("-j")) == F.col("__jname"), "left"
-    ).drop("__jname")
-    docs = docs.join(
-        japrobe, F.concat(F.col("ucs"), F.lit("-ja")) == F.col("__janame"), "left"
-    ).drop("__janame")
+    jn = ctx.docs.where(F.col("doc_id").endswith("-j")).select(
+        F.expr("substring(doc_id, 1, length(doc_id) - 2)").alias("ucs"),
+        F.lit(None).cast("string").alias("nomark_entity"),
+        F.lit(True).alias("has_j"),
+        F.lit(None).cast("boolean").alias("has_ja"),
+    )
+    jan = ctx.docs.where(F.col("doc_id").endswith("-ja")).select(
+        F.expr("substring(doc_id, 1, length(doc_id) - 3)").alias("ucs"),
+        F.lit(None).cast("string").alias("nomark_entity"),
+        F.lit(None).cast("boolean").alias("has_j"),
+        F.lit(True).alias("has_ja"),
+    )
+    probe = (
+        nm.unionByName(jn)
+        .unionByName(jan)
+        .groupBy("ucs")
+        .agg(
+            F.max("nomark_entity").alias("nomark_entity"),
+            F.max("has_j").alias("has_j"),
+            F.max("has_ja").alias("has_ja"),
+        )
+    )
+    docs = docs.join(probe, "ucs", "left")
 
     # ---- checkJV per entity: banned/no-apply part scan (j.py:101-113)
     parts = ctx.spans.where(F.col("kind") == "part").select(

@@ -24,10 +24,18 @@ from gwv_spark.rules import RuleContext, rule, shape, tag_line, default_sortkey
 
 _INVALID_CHAR_RE = "[^0-9a-z_:@-]"
 
+# A line made entirely of canonical ints (0 | -?[1-9]\d*) separated by
+# ':' can violate nothing — one anchored regex rejects the overwhelming
+# majority of lines before the per-column scan below runs.  Lines with a
+# part name (letters), non-canonical ints, bad chars, or blanks all fail
+# this and take the exact per-column path.
+_CANONICAL_LINE_RE = r"^(0|-?[1-9][0-9]*)(:(0|-?[1-9][0-9]*))*$"
+
 
 def classify(spans_df: DataFrame) -> DataFrame:
     """Flat per-line classification: (doc_id, offset, line_text, errcode)
     for offending lines only."""
+    spans_df = spans_df.where(~F.col("text").rlike(_CANONICAL_LINE_RE))
     cols = F.split(F.col("text"), ":", -1)
 
     # Per-column violation class: 0 ok / 1 non-canonical / 2 not-an-int,

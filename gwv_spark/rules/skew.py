@@ -35,7 +35,7 @@ def classify(ctx: RuleContext) -> DataFrame:
     angle) for offending lines."""
     sp = ctx.spans.where(
         (~F.col("is_alias")) & (F.col("category") != "user-owned")
-    ).withColumn("d", parse.int_data(F.col("text")))
+    )  # 'd' = shared parsed int columns (derive.exploded_spans)
     d = F.col("d")
     n_pairs = F.floor((F.size(d) - 3) / 2).cast("int")
     # KageLine.coords is None iff any zipped (x, y) pair has a NULL

@@ -92,9 +92,8 @@ def width(ctx: RuleContext) -> DataFrame:
     ).select("doc_id", "spans")
 
     # ---- per-span effective-extent elements (line order preserved)
-    sp = ctx.spans.join(docs.select("doc_id"), "doc_id").withColumn(
-        "d", parse.int_data(F.col("text"))
-    )
+    # 'd' = shared parsed int columns (derive.exploded_spans)
+    sp = ctx.spans.join(docs.select("doc_id"), "doc_id")
     d = F.col("d")
     st = F.get(d, 0)
     dn = F.size(d)

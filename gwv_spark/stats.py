@@ -157,6 +157,60 @@ def psi_by_group(df: DataFrame, value: Column, group: Column, baseline_group: st
     )
 
 
+def corpus_snapshot(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """The baseline_stats snapshot shape (FIXTURES.md §5): span-length
+    histogram + span-kind frequencies + media_ref null rate as
+    (metric, bucket, value) rows.  Written per Iceberg snapshot on a real
+    deployment; drift checks compare the current corpus against it."""
+    span_len = docs.groupBy(F.col("n_spans")).agg(F.count(F.lit(1)).alias("v")).select(
+        F.lit("span_len_hist").alias("metric"),
+        F.col("n_spans").cast("string").alias("bucket"),
+        F.col("v").cast("double").alias("value"),
+    )
+    kind_freq = spans.groupBy("kind").agg(F.count(F.lit(1)).alias("v")).select(
+        F.lit("kind_freq").alias("metric"),
+        F.col("kind").alias("bucket"),
+        F.col("v").cast("double").alias("value"),
+    )
+    null_rate = spans.agg(
+        (
+            F.sum(F.when(F.col("media_ref").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("v")
+    ).select(
+        F.lit("media_ref_null_rate").alias("metric"),
+        F.lit("all").alias("bucket"),
+        F.round(F.col("v"), 6).alias("value"),
+    )
+    return span_len.unionByName(kind_freq).unionByName(null_rate)
+
+
+def snapshot_psi(current: DataFrame, baseline: DataFrame, eps: float = 1e-4) -> DataFrame:
+    """Per-metric PSI between two (metric, bucket, value) snapshots over
+    the histogram metrics (rate metrics are compared directly as an
+    absolute difference).  One shuffle on (metric, bucket); totals
+    broadcast back."""
+    hist_metrics = ["span_len_hist", "kind_freq"]
+    c = current.where(F.col("metric").isin(hist_metrics)).select(
+        "metric", "bucket", F.col("value").alias("n_cur")
+    )
+    b = baseline.where(F.col("metric").isin(hist_metrics)).select(
+        "metric", "bucket", F.col("value").alias("n_base")
+    )
+    j = c.join(b, ["metric", "bucket"], "full_outer").fillna(0.0, ["n_cur", "n_base"])
+    tot = j.groupBy("metric").agg(
+        F.sum("n_cur").alias("tot_cur"), F.sum("n_base").alias("tot_base")
+    )
+    j = j.join(F.broadcast(tot), "metric")
+    p = F.col("n_cur") / F.col("tot_cur") + eps
+    q = F.col("n_base") / F.col("tot_base") + eps
+    return (
+        j.groupBy("metric")
+        .agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"))
+        .select("metric", "psi")
+    )
+
+
 def ks_statistic(df: DataFrame, value: Column, group: Column, group_a: str, group_b: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic between two groups'
     empirical CDFs, computed relationally: sort-merge the pooled sample,

@@ -1,0 +1,38 @@
+"""End-to-end job entrypoint: violations + verdicts + ledger on disk,
+and --resume skipping completed rules (north-rule lifecycle)."""
+
+from __future__ import annotations
+
+from gwv_spark import job
+from gwv_spark.corpus import ensure_corpus
+
+
+def test_job_end_to_end_and_resume(spark, tmp_path):
+    data_dir = ensure_corpus(tmp_path / "corpus", 300)
+    out = tmp_path / "out"
+    args = [
+        "--input", str(data_dir / "documents.parquet"),
+        "--output", str(out),
+        "--rules", "numexp", "delquote", "order",
+        "--n-buckets", "16",
+    ]
+    job.main(args, spark=spark)
+
+    vio = spark.read.parquet(str(out / "violations"))
+    assert set(vio.columns) == {"rule_id", "errcode", "doc_id", "detail", "sortkey"}
+    rules_seen = {r["rule_id"] for r in vio.select("rule_id").distinct().collect()}
+    assert rules_seen == {"numexp", "delquote", "order"}
+    assert vio.count() > 0
+
+    verdicts = spark.read.parquet(str(out / "verdicts"))
+    assert verdicts.where("pass = false").count() > 0
+    assert verdicts.select("partition_id").distinct().count() <= 16
+
+    ledger = spark.read.parquet(str(out / "ledger"))
+    marked = {r["rule_id"] for r in ledger.where("partition_id = -1").collect()}
+    assert marked == {"numexp", "delquote", "order"}
+
+    # resume: all three rules complete -> nothing re-marked
+    job.main(args + ["--resume"], spark=spark)
+    ledger2 = spark.read.parquet(str(out / "ledger"))
+    assert ledger2.where("partition_id = -1").count() == 3
