@@ -75,14 +75,23 @@ def main() -> None:
         force(registry[name].spark_fn(spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
 
-    # flagship: full rule suite over the synthetic corpus
+    # flagship: full rule suite over the synthetic corpus, as ONE fused
+    # action (engine.run_suite).  Cold includes context build + first
+    # execution (codegen, python-worker spin-up); sustained is the
+    # steady-state re-execution — the shape of a long-running cluster
+    # job, and the number comparable to the reference's loop (which has
+    # no fixed setup at all).
     docs = Q.synth_docs(spark, SF_DIR)
     n_docs = n_docs_for_sf_dir(SF_DIR)
     t0 = time.time()
     ctx = engine.make_context(spark, docs, cache=True)
-    engine.run_rules_concurrent(ctx)
+    engine.run_suite(ctx)
     validate_sec = time.time() - t0
     timings["validate_full_suite"] = round(validate_sec, 3)
+    t0 = time.time()
+    engine.run_suite(ctx)
+    sustained_sec = time.time() - t0
+    timings["validate_full_suite_sustained"] = round(sustained_sec, 3)
 
     total = round(sum(timings.values()), 3)
     print(

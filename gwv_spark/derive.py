@@ -116,6 +116,47 @@ def prepare(documents: DataFrame) -> DataFrame:
     return df
 
 
+def with_entity(prepared: DataFrame) -> DataFrame:
+    """Resolve the alias FK once for the whole corpus (one self join).
+
+    Adds:
+    - ``raw_entity`` — dump.get_entity_name semantics (dump.py:59-61):
+      the alias target string even if dangling, else the name itself;
+    - ``entity_exists`` — the target is present in the corpus;
+    - ``entity`` — ValidatorContext.entity semantics (validatorctx.py:
+      32-37): the target if present, else the doc itself.
+
+    The reference re-derives this lazily per record; here it is ONE
+    shuffle join paid at context build (at a real deployment: at ingest,
+    stored in the Iceberg table), after which every rule reads plain
+    columns instead of re-joining the corpus.
+
+    Skew note: ~90% of docs are not aliases (entity_ref IS NULL).  A
+    naive left join would shuffle every null-key row into one hot
+    partition; instead only the alias rows join, and the non-alias rows
+    bypass the shuffle entirely (union of the two cases)."""
+    aliases = prepared.where(F.col("entity_ref").isNotNull())
+    others = prepared.where(F.col("entity_ref").isNull())
+    targets = prepared.select(F.col("doc_id").alias("__tgt"))
+    resolved = (
+        aliases.join(targets, F.col("entity_ref") == F.col("__tgt"), "left")
+        .withColumn("entity_exists", F.col("__tgt").isNotNull())
+        .withColumn(
+            "entity",
+            F.when(F.col("entity_exists"), F.col("entity_ref")).otherwise(
+                F.col("doc_id")
+            ),
+        )
+        .drop("__tgt")
+    )
+    passthrough = others.withColumn("entity_exists", F.lit(False)).withColumn(
+        "entity", F.col("doc_id")
+    )
+    return resolved.unionByName(passthrough).withColumn(
+        "raw_entity", F.coalesce(F.col("entity_ref"), F.col("doc_id"))
+    )
+
+
 def exploded_spans(prepared: DataFrame) -> DataFrame:
     """One row per span, keeping the shared per-doc attributes.
 

@@ -267,6 +267,83 @@ def mustrenew_sql(parquet_expr: str) -> str:
     """
 
 
+def related_sql(
+    parquet_expr: str,
+    attrs_expr: str,
+    compat_pairs: list[tuple[str, str]],
+) -> str:
+    """related rule (related.py:52-92): expected related = own codepoint,
+    remapped through kCompatibilityVariant for compat ideographs; checks
+    the doc's related, the alias target's existence, and the target's
+    related.  The cjksrc compat column is inlined as VALUES from the
+    same dim the engine uses."""
+    togo = " OR ".join(f"(ecp BETWEEN {lo} AND {hi})" for lo, hi in _TOGO)
+    compat_inset = ",".join(map(str, _COMPAT))
+    gokan = " OR ".join(f"(cp BETWEEN {lo} AND {hi})" for lo, hi in _GOKAN)
+    if compat_pairs:
+        compat_values = ", ".join(f"('{u}', '{c}')" for u, c in compat_pairs)
+    else:
+        compat_values = "('', '')"
+    re_ucs = "^u([0-9a-f]{4,6})(-.+)?$"
+    return f"""
+    WITH {docs_cte(parquet_expr)},
+    attrs AS (SELECT doc_id, related FROM {attrs_expr}),
+    compat(cucs, compat) AS (VALUES {compat_values}),
+    base AS (
+      SELECT d.doc_id, d.entity_ref,
+        COALESCE(a.related, 'u3013') AS related,
+        'u' || regexp_extract(d.doc_id, '{re_ucs}', 1) AS exp0,
+        TRY_CAST(('0x' || regexp_extract(d.doc_id, '{re_ucs}', 1)) AS UBIGINT)::BIGINT AS cp
+      FROM docs d LEFT JOIN attrs a USING (doc_id)
+      WHERE d.category = 'ucs-kanji'
+    ),
+    b2 AS (
+      SELECT b.*, c.compat,
+        (({gokan}) AND cp NOT IN ({compat_inset})) AS is_gokan
+      FROM base b LEFT JOIN compat c ON b.exp0 = c.cucs
+    ),
+    b3 AS (
+      SELECT *, CASE WHEN is_gokan THEN 'u' || lower(substr(compat, 3))
+                     ELSE exp0 END AS expected
+      FROM b2 WHERE NOT (is_gokan AND compat IS NULL)
+    ),
+    b4 AS (
+      SELECT b3.*,
+        (e.doc_id IS NOT NULL) AS ent_exists,
+        CASE WHEN e.doc_id IS NOT NULL
+             THEN COALESCE(ea.related, 'u3013') END AS ent_related,
+        (NOT contains(b3.entity_ref, '_')
+         AND NOT regexp_matches(b3.entity_ref, '^(u2ff[0-9a-f]|u31ef)-.+$')
+         AND regexp_matches(b3.entity_ref, '{re_ucs}')
+         AND (SELECT ({togo}) OR ecp IN ({compat_inset}) FROM (SELECT
+              TRY_CAST(('0x' || regexp_extract(b3.entity_ref, '{re_ucs}', 1))
+              AS UBIGINT)::BIGINT AS ecp))) AS ent_togo
+      FROM b3
+      LEFT JOIN docs e ON e.doc_id = b3.entity_ref
+      LEFT JOIN attrs ea ON ea.doc_id = b3.entity_ref
+    ),
+    coded AS (
+      SELECT *,
+        CASE WHEN related <> 'u3013' AND related <> expected THEN '0'
+             WHEN entity_ref IS NOT NULL THEN (
+               CASE WHEN ent_togo THEN NULL
+                    WHEN NOT ent_exists THEN '2'
+                    WHEN ent_related = 'u3013' THEN '11'
+                    WHEN expected <> ent_related THEN '10' END)
+             WHEN related = 'u3013' THEN '1' END AS errcode
+      FROM b4
+    )
+    SELECT doc_id, errcode,
+      CASE errcode
+        WHEN '0' THEN related || '|' || expected
+        WHEN '1' THEN expected
+        WHEN '2' THEN entity_ref
+        WHEN '10' THEN entity_ref || '|' || ent_related || '|' || expected
+        WHEN '11' THEN entity_ref || '|' || expected END AS params
+    FROM coded WHERE errcode IS NOT NULL
+    """
+
+
 def skew_sql(parquet_expr: str) -> str:
     kc = kint("c")
     return f"""

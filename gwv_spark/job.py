@@ -4,7 +4,8 @@ gwv_spark/job.py --input <docs> --output <dir> [...]``.
 Batch lifecycle (north rule):
 1. read the documents table (parquet path or Iceberg table name);
 2. build the shared parsed context (cache unless --no-cache);
-3. run the selected rules concurrently, each writing its violations to
+3. run the selected rules as ONE fused action (union of all rule
+   plans), written hive-partitioned to
    ``<output>/violations/rule_id=<id>/``;
 4. roll up per-partition pass/fail verdicts + metrics to
    ``<output>/verdicts/``;
@@ -38,7 +39,6 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--rules", nargs="*", default=None, help="rule subset (default all)")
     p.add_argument("--attrs", default=None, help="doc_attrs parquet path")
-    p.add_argument("--workers", type=int, default=6, help="concurrent rule jobs")
     p.add_argument("--n-buckets", type=int, default=256)
     p.add_argument("--run-id", default="run")
     p.add_argument("--resume", action="store_true", help="skip completed (rule,bucket)s")
@@ -62,7 +62,6 @@ def main(argv: list[str] | None = None, spark=None) -> None:
 
     out = args.output.rstrip("/")
     ledger = engine.Ledger(spark, f"{out}/ledger")
-    vio_sink = engine.parquet_sink(f"{out}/violations")
 
     if args.resume:
         # partition_id == -1 is the rule-complete sentinel; bucket-grain
@@ -73,7 +72,15 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         }
         rule_ids = [r for r in rule_ids if r not in done]
 
-    engine.run_rules_concurrent(ctx, rule_ids, workers=args.workers, sink=vio_sink)
+    if rule_ids:
+        # ONE action: the union of all rule plans, written hive-
+        # partitioned by rule_id.  Single job submission; the DAG
+        # scheduler overlaps the independent branch stages, and dynamic
+        # partition overwrite means a resumed run only replaces the
+        # rule_id partitions it actually recomputed.
+        engine.run_rules(ctx, rule_ids).write.mode("overwrite").partitionBy(
+            "rule_id"
+        ).parquet(f"{out}/violations")
 
     violations = spark.read.parquet(f"{out}/violations")
     verdicts = engine.partition_verdicts(

@@ -790,7 +790,20 @@ def gwv_skew_q(spark, sf_dir):
     )
 
 
-@q("gwv_related_violations")  # rows-only: needs the cjksrc dim inlined in SQL
+def _related_oracle(sf: str) -> str:
+    from gwv_spark import gwv_sql
+    from gwv_spark.dims import synth_cjksrc
+
+    d = synth_dir_for(sf)
+    compat = [
+        (ucs, row[11]) for ucs, row in synth_cjksrc().items() if row[11] is not None
+    ]
+    return gwv_sql.related_sql(
+        synth_docs_sql(sf), f"read_parquet('{d}/doc_attrs.parquet')", compat
+    )
+
+
+@q("gwv_related_violations", _related_oracle)
 def gwv_related_q(spark, sf_dir):
     from gwv_spark import engine
 

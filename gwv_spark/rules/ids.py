@@ -34,25 +34,18 @@ _SURROUND = ("u2ff4", "u2ff5", "u2ff6", "u2ff7", "u2ff8", "u2ff9", "u2ffa", "u2f
 @rule("ids")
 def ids(ctx: RuleContext) -> DataFrame:
     d = ctx.docs.where(F.col("category") == "ids").select(
-        "doc_id", "entity_ref", "is_alias"
+        "doc_id", "entity", "is_alias"
     )
-    # existence-checked entity spans (validatorctx.py:32-37)
+    # existence-checked entity spans (validatorctx.py:32-37): the
+    # precomputed ``entity`` column already falls back to the doc
+    # itself, so ONE equi join fetches the right spans either way
     ent_spans = ctx.docs.select(
-        F.col("doc_id").alias("__ent_id"), F.col("spans").alias("__ent_spans")
-    )
-    own_spans = ctx.docs.select(
-        F.col("doc_id"), F.col("spans").alias("__own_spans")
+        F.col("doc_id").alias("entity"), F.col("spans").alias("__ent_spans")
     )
     d = (
-        d.join(ent_spans, d["entity_ref"] == ent_spans["__ent_id"], "left")
-        .join(own_spans, "doc_id")
-        .withColumn(
-            "espans",
-            F.when(F.col("__ent_id").isNotNull(), F.col("__ent_spans")).otherwise(
-                F.col("__own_spans")
-            ),
-        )
-        .drop("__ent_id", "__ent_spans", "__own_spans")
+        d.join(ent_spans, "entity")
+        .withColumn("espans", F.col("__ent_spans"))
+        .drop("__ent_spans")
     )
 
     first_text = F.get(F.col("espans"), 0)["text"]

@@ -205,31 +205,27 @@ def illegal(ctx: RuleContext) -> DataFrame:
         F.concat(prefix3, F.lit("#"), F.col("doc_id"), F.lit("#"), F.lpad(F.col("offset").cast("string"), 6, "0")),
     )
 
-    # ---- whole-record codes, aggregated from the shared parsed spans
-    # (HOF re-parse over docs.spans would re-run the per-column regex
-    # per rule; the groupBy below reuses the cached `d` arrays)
-    cls = _span_alias_class(F.col("d"))
-    per_doc = (
-        ctx.spans.where(F.col("category") != "user-owned")
-        .groupBy("doc_id")
-        .agg(
-            F.first("is_alias").alias("is_alias_"),
-            F.first("n_spans").alias("n_spans_"),
-            F.max((cls == "F").cast("int")).alias("any_f"),
-            F.sum((cls == "Q").cast("int")).alias("n_q"),
-            F.min(_span_blank_ok(F.col("d")).cast("int")).alias("all_blank"),
-            F.max(
-                ((F.col("offset") == 0) & (F.col("text") == "0:-1:-1:-1")).cast("int")
-            ).alias("first_blank"),
-        )
+    # ---- whole-record codes: a narrow higher-order-function pass over
+    # docs.spans — per-doc reductions need NO shuffle (the earlier
+    # groupBy(doc_id) over exploded spans re-shuffled the whole corpus
+    # just to regroup rows that were already co-located per document)
+    d_arr = F.transform(F.col("spans"), lambda s: parse.int_data(s["text"]))
+    per_doc = ctx.docs.where(F.col("category") != "user-owned").select(
+        "doc_id",
+        "is_alias",
+        "n_spans",
+        F.exists(d_arr, lambda d: _span_alias_class(d) == "F").alias("any_f"),
+        F.size(F.filter(d_arr, lambda d: _span_alias_class(d) == "Q")).alias("n_q"),
+        F.forall(d_arr, _span_blank_ok).alias("all_blank"),
+        (F.element_at(F.col("spans"), 1)["text"] == "0:-1:-1:-1").alias("first_blank"),
     )
-    exact_blank = (F.col("n_spans_") == 1) & (F.col("first_blank") == 1)
+    exact_blank = (F.col("n_spans") == 1) & F.col("first_blank")
     rec = per_doc.select(
         "doc_id",
-        ((~F.col("is_alias_")) & (F.col("any_f") == 0) & (F.col("n_q") == 1)).alias(
+        ((~F.col("is_alias")) & (~F.col("any_f")) & (F.col("n_q") == 1)).alias(
             "is_alias_like"
         ),
-        ((F.col("all_blank") == 1) & ~exact_blank).alias("is_blank_like"),
+        (F.col("all_blank") & ~exact_blank).alias("is_blank_like"),
     )
     alias_v = shape(
         rec.where(F.col("is_alias_like")),

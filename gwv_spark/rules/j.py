@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gwv_spark.derive import RE_UCS, is_gokan_kanji_cp
-from gwv_spark.rules import RuleContext, entity_checked, rule, shape, tag_s
+from gwv_spark.rules import RuleContext, rule, shape, tag_s
 from gwv_spark.rules.order import RE_REGIONS
 
 _RE_REGION_OPTHENKA = "^-(" + RE_REGIONS + r")([0-9]{2})?$"
@@ -87,9 +87,8 @@ def j(ctx: RuleContext) -> DataFrame:
 
     # ---- per-glyph frame
     docs = ctx.docs.where(F.col("category").isin("ucs-kanji", "ext", "bsh")).select(
-        "doc_id", "category", "is_alias", "entity_ref"
+        "doc_id", "category", "is_alias", "entity_ref", "entity"
     )
-    docs = entity_checked(ctx, docs, "entity")
     ucs_hex = F.regexp_extract(F.col("doc_id"), RE_UCS, 1)
     docs = docs.withColumn(
         "ucs", F.when(ucs_hex != "", F.concat(F.lit("u"), ucs_hex))
@@ -102,72 +101,80 @@ def j(ctx: RuleContext) -> DataFrame:
     cjk = _cjksrc_df(ctx)
     docs = docs.join(F.broadcast(cjk), docs["ucs"] == cjk["ucs"], "left").drop(cjk["ucs"])
 
-    # nomark attributes (existence + raw entity) and uxxxx-j / uxxxx-ja
-    # existence probes — three lookups keyed by the same nomark name,
-    # folded into ONE aggregated probe frame and one join (three
-    # full-corpus shuffle joins otherwise)
-    nm = ctx.docs.select(
-        F.col("doc_id").alias("ucs"),
-        F.coalesce(F.col("entity_ref"), F.col("doc_id")).alias("nomark_entity"),
-        F.lit(None).cast("boolean").alias("has_j"),
-        F.lit(None).cast("boolean").alias("has_ja"),
+    # nomark attributes (existence + raw entity), uxxxx-j / uxxxx-ja
+    # existence probes, and ucs-in-no-apply — FOUR lookups keyed by the
+    # same nomark name, folded into ONE aggregated probe frame and one
+    # join (four full-corpus shuffle joins otherwise)
+    def _probe(df, ne=None, has_j=None, has_ja=None, ucs_na=None):
+        return df.select(
+            F.col(df.columns[0]).alias("ucs"),
+            (ne if ne is not None else F.lit(None).cast("string")).alias(
+                "nomark_entity"
+            ),
+            F.lit(has_j).cast("boolean").alias("has_j"),
+            F.lit(has_ja).cast("boolean").alias("has_ja"),
+            F.lit(ucs_na).cast("boolean").alias("ucs_no_apply"),
+        )
+
+    nm = _probe(ctx.docs.select("doc_id", "raw_entity"), ne=F.col("raw_entity"))
+    jn = _probe(
+        ctx.docs.where(F.col("doc_id").endswith("-j")).select(
+            F.expr("substring(doc_id, 1, length(doc_id) - 2)")
+        ),
+        has_j=True,
     )
-    jn = ctx.docs.where(F.col("doc_id").endswith("-j")).select(
-        F.expr("substring(doc_id, 1, length(doc_id) - 2)").alias("ucs"),
-        F.lit(None).cast("string").alias("nomark_entity"),
-        F.lit(True).alias("has_j"),
-        F.lit(None).cast("boolean").alias("has_ja"),
+    jan = _probe(
+        ctx.docs.where(F.col("doc_id").endswith("-ja")).select(
+            F.expr("substring(doc_id, 1, length(doc_id) - 3)")
+        ),
+        has_ja=True,
     )
-    jan = ctx.docs.where(F.col("doc_id").endswith("-ja")).select(
-        F.expr("substring(doc_id, 1, length(doc_id) - 3)").alias("ucs"),
-        F.lit(None).cast("string").alias("nomark_entity"),
-        F.lit(None).cast("boolean").alias("has_j"),
-        F.lit(True).alias("has_ja"),
-    )
+    nap = _probe(no_apply.select("na_part"), ucs_na=True)
     probe = (
         nm.unionByName(jn)
         .unionByName(jan)
+        .unionByName(nap)
         .groupBy("ucs")
         .agg(
             F.max("nomark_entity").alias("nomark_entity"),
             F.max("has_j").alias("has_j"),
             F.max("has_ja").alias("has_ja"),
+            F.max("ucs_no_apply").alias("ucs_no_apply"),
         )
     )
     docs = docs.join(probe, "ucs", "left")
 
-    # ---- checkJV per entity: banned/no-apply part scan (j.py:101-113)
+    # ---- checkJV per entity: banned/no-apply part scan (j.py:101-113).
+    # Both lookups key on the quoting doc (= the entity side of the main
+    # frame), so ONE aggregation + ONE join serves both.
     parts = ctx.spans.where(F.col("kind") == "part").select(
         F.col("doc_id").alias("entity"), "offset", F.col("media_ref").alias("pbase")
     )
-    has_na = (
-        parts.join(no_apply, parts["pbase"] == no_apply["na_part"])
-        .select("entity")
-        .dropDuplicates()
-        .withColumn("ent_has_no_apply", F.lit(True))
-    )
-    first_banned = (
-        parts.join(F.broadcast(no_use), parts["pbase"] == no_use["banned"])
+    jv_parts = (
+        parts.join(no_apply, parts["pbase"] == no_apply["na_part"], "left")
+        .join(F.broadcast(no_use), parts["pbase"] == no_use["banned"], "left")
+        .where(F.col("na_part").isNotNull() | F.col("banned").isNotNull())
         .groupBy("entity")
         .agg(
-            F.min(F.struct(F.col("offset"), F.col("banned"), F.col("use"))).alias("fb")
+            F.max(F.col("na_part").isNotNull()).alias("ent_has_no_apply_"),
+            F.min(
+                F.when(
+                    F.col("banned").isNotNull(),
+                    F.struct(F.col("offset"), F.col("banned"), F.col("use")),
+                )
+            ).alias("fb"),
         )
         .select(
             "entity",
+            F.when(F.col("ent_has_no_apply_"), F.lit(True)).alias("ent_has_no_apply"),
             F.col("fb.banned").alias("banned_part"),
             F.col("fb.use").alias("preferred_part"),
         )
     )
-    docs = docs.join(has_na, "entity", "left").join(first_banned, "entity", "left")
+    docs = docs.join(jv_parts, "entity", "left")
     check_jv_code = F.when(
         F.col("ent_has_no_apply").isNull() & F.col("banned_part").isNotNull(), F.lit("2")
     )
-
-    # ucs itself in no_apply set (j.py:131, 193)
-    ucs_na = no_apply.select(F.col("na_part").alias("ucs")).withColumn(
-        "ucs_no_apply", F.lit(True)
-    )
-    docs = docs.join(ucs_na, "ucs", "left")
 
     region = F.regexp_extract(F.col("tail"), _RE_REGION_OPTHENKA, 1)
     is_henka = F.regexp_extract(F.col("tail"), _RE_REGION_OPTHENKA, 2) != ""

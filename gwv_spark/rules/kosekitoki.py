@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gwv_spark.rules import RuleContext, entity_checked, rule, shape, tag_s
+from gwv_spark.rules import RuleContext, rule, shape, tag_s
 
 
 @rule("kosekitoki")
@@ -24,14 +24,13 @@ def kosekitoki(ctx: RuleContext) -> DataFrame:
     num = F.regexp_extract(F.col("doc_id"), r"^toki-([0-9]{8})$", 1)
     toki = (
         ctx.docs.where(F.col("category") == "toki")
-        .select("doc_id", "is_alias", "entity_ref", num.alias("num"))
+        .select("doc_id", "is_alias", "entity", num.alias("num"))
         .where(F.col("num").startswith("00"))
         .withColumn("koseki_name", F.concat(F.lit("koseki-"), F.expr("substring(num, 3)")))
     )
-    toki = entity_checked(ctx, toki, "entity")
     koseki = ctx.docs.select(
         F.col("doc_id").alias("koseki_name"),
-        F.coalesce(F.col("entity_ref"), F.col("doc_id")).alias("koseki_raw_entity"),
+        F.col("raw_entity").alias("koseki_raw_entity"),
     )
     j = toki.join(koseki, "koseki_name", "left").withColumn(
         "koseki_entity", F.coalesce(F.col("koseki_raw_entity"), F.col("koseki_name"))

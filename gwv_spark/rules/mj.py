@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gwv_spark import derive
-from gwv_spark.rules import RuleContext, entity_checked, rule, shape, tag_s
+from gwv_spark.rules import RuleContext, rule, shape, tag_s
 
 F_JMJ, F_KOSEKI, F_JUKI, F_NYUKAN, F_X0213, F_X0212, F_UCS = 0, 1, 2, 3, 4, 5, 6
 F_IVS, F_SVS, F_TOKI, F_DKW, F_SHINCHO, F_SDJT = 7, 8, 9, 10, 11, 12
@@ -120,7 +120,7 @@ def mj(ctx: RuleContext) -> DataFrame:
     )
 
     docs = ctx.docs.where(~F.col("category").isin(_SKIP_CATS)).select(
-        "doc_id", "entity_ref", "is_alias"
+        "doc_id", "entity_ref", "is_alias", "entity"
     )
     field, key = _field_key(F.col("doc_id"))
     docs = (
@@ -208,7 +208,6 @@ def mj(ctx: RuleContext) -> DataFrame:
     docs = docs.join(ctx.attrs.select("doc_id", "related"), "doc_id", "left").withColumn(
         "related", F.coalesce(F.col("related"), F.lit("u3013"))
     )
-    docs = entity_checked(ctx, docs, "entity")
     ent_rel = ctx.attrs.select(
         F.col("doc_id").alias("entity"), F.col("related").alias("entity_related")
     )

@@ -62,20 +62,22 @@ def related(ctx: RuleContext) -> DataFrame:
     ).otherwise(F.col("exp0"))
     docs = docs.withColumn("expected", expected)
 
-    # entity attributes: existence + its related (raw entity_ref join)
-    ent = (
-        ctx.docs.select(F.col("doc_id").alias("entity_ref"))
-        .join(
-            ctx.attrs.select(
-                F.col("doc_id").alias("entity_ref"), F.col("related").alias("ent_related")
-            ),
-            "entity_ref",
-            "left",
-        )
-        .withColumn("ent_exists", F.lit(True))
-        .withColumn("ent_related", F.coalesce(F.col("ent_related"), F.lit("u3013")))
+    # entity attributes: existence is precomputed (derive.with_entity);
+    # only the entity's related needs a lookup, against the slim attrs
+    # table instead of the corpus
+    ent = ctx.attrs.select(
+        F.col("doc_id").alias("entity_ref"), F.col("related").alias("ent_related")
     )
-    d = docs.join(ent, "entity_ref", "left")
+    d = (
+        docs.join(ent, "entity_ref", "left")
+        .withColumn("ent_exists", F.col("entity_exists"))
+        .withColumn(
+            "ent_related",
+            F.when(
+                F.col("entity_exists"), F.coalesce(F.col("ent_related"), F.lit("u3013"))
+            ),
+        )
+    )
 
     ent_hex = F.regexp_extract(F.col("entity_ref"), RE_UCS, 1)
     ent_cat = derive.category(F.col("entity_ref"))

@@ -41,7 +41,7 @@ def ucsalias(ctx: RuleContext) -> DataFrame:
     # nomark lookup: raw entity + existence (dump.get_entity_name)
     nomark_side = ctx.docs.select(
         F.col("doc_id").alias("nomark"),
-        F.coalesce(F.col("entity_ref"), F.col("doc_id")).alias("nomark_entity"),
+        F.col("raw_entity").alias("nomark_entity"),
     )
     d = docs.join(nomark_side, "nomark", "left")
 

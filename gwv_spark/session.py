@@ -38,9 +38,21 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Corpus self-joins must NEVER be planned as static broadcasts —
+        # at the north rule's 10^12-doc scale no corpus-derived side fits
+        # the driver.  Static auto-broadcast is therefore off; true
+        # dimension tables are broadcast EXPLICITLY (F.broadcast in the
+        # rule/dim code), and AQE may still convert a join to broadcast
+        # at runtime from the MEASURED post-shuffle size ("broadcast or
+        # sort-merge depending on cardinality") — exactly the decision a
+        # real deployment wants, with no driver-side guess.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "16m")
+        # hive-style partitioned violation sinks: a resumed run must only
+        # replace the partitions it actually recomputed
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
