@@ -41,6 +41,7 @@ def make_context(
     attrs: DataFrame | None = None,
     dims: dict[str, DataFrame] | None = None,
     cache: bool = False,
+    ignore_error: bool = False,
 ) -> RuleContext:
     """cache=True persists the prepared docs and the exploded+parsed
     spans before the rule plans run.  Every rule branch reuses the
@@ -62,7 +63,14 @@ def make_context(
         from gwv_spark.dims import default_dims
 
         dims = default_dims()
-    return RuleContext(spark=spark, docs=docs, spans=spans, attrs=attrs, dims=dims)
+    return RuleContext(
+        spark=spark,
+        docs=docs,
+        spans=spans,
+        attrs=attrs,
+        dims=dims,
+        ignore_error=ignore_error,
+    )
 
 
 def empty_violations(spark: SparkSession) -> DataFrame:

@@ -267,6 +267,133 @@ def mustrenew_sql(parquet_expr: str) -> str:
     """
 
 
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def naming_sql(
+    parquet_expr: str,
+    rules_cfg: dict,
+    cdp_dict: dict[str, str],
+) -> str:
+    """naming rule (naming.py:102-169): suffix stripping, prohibition
+    tiers, IDS grammar reduction to 漢 (iterated regex replace, same
+    16-round unroll as the engine), encoded-CDP lookup, PUA/u3013
+    rejects, 4-tier acceptance + deprecated.  Emits
+    (doc_id, errcode, params)."""
+
+    def ruleset(name_expr: str, key: str) -> str:
+        rs = rules_cfg[key]
+        parts = []
+        if rs["strings"]:
+            lst = ", ".join(_sql_str(s) for s in sorted(rs["strings"]))
+            parts.append(f"{name_expr} IN ({lst})")
+        if rs["regex"]:
+            parts.append(
+                f"regexp_full_match({name_expr}, {_sql_str('(?:' + rs['regex'] + ')')})"
+            )
+        return "(" + (" OR ".join(parts) or "FALSE") + ")"
+
+    re_gl = r"^(j78|j83|j90|jsp|jx1-200[04]|jx2|k0|g0|c[0-9a-f])-([0-9a-f]{4})$"
+    re_valid_gl = r"^(2[1-9a-f]|[3-6][0-9a-f]|7[0-9a-e]){2}$"
+    re_cdp = r"\bcdp([on]?)-([0-9a-f]{4})\b"
+    re_valid_cdp = (
+        r"^(8[1-9a-f]|9[0-9a-f]|a0|c[67])(a[1-9a-f]|[4-6b-e][0-9a-f]|[7f][0-9a-e])$"
+    )
+    re_ids_head = r"^(kumimoji|u2ff[0-9a-f]|u31ef)-"
+    re_kanji = (
+        r"\b(?:u[23]?[0-9a-f]{4}(?:-u(?:e01[0-9a-f]{2}|fe0[0-9a-f]))?"
+        r"|cdp[on]?-[0-9a-f]{4})\b"
+    )
+    reduced = "regexp_replace(name, '^kumimoji-', '')"
+    for pat, rep in [
+        (r"\bu2ff[ef]\b", "１"),
+        (r"\b(u2ff[014-9a-d]|u31ef)\b", "２"),
+        (r"\bu2ff[23]\b", "３"),
+        (re_kanji, "漢"),
+    ]:
+        reduced = f"regexp_replace({reduced}, {_sql_str(pat)}, '{rep}', 'g')"
+    for _ in range(16):
+        reduced = (
+            f"regexp_replace({reduced}, '１-漢|２-漢-漢|３-漢-漢-漢', '漢', 'g')"
+        )
+
+    keys_list = "[" + ", ".join(_sql_str(k) for k in cdp_dict) + "]"
+    if cdp_dict:
+        enc_ucs_case = (
+            "CASE enc_cdp "
+            + " ".join(
+                f"WHEN {_sql_str(k)} THEN {_sql_str(v)}" for k, v in cdp_dict.items()
+            )
+            + " END"
+        )
+    else:
+        enc_ucs_case = "NULL"
+
+    return f"""
+    WITH {docs_cte(parquet_expr)},
+    n0 AS (
+      SELECT doc_id,
+        regexp_replace(doc_id, '-(var|itaiji)-[0-9]{{3}}$', '') AS n1
+      FROM docs WHERE category <> 'user-owned'
+    ),
+    n1 AS (
+      SELECT doc_id, (n1 <> doc_id) AS is_var,
+        regexp_replace(n1, '-[0-9]{{2}}$', '') AS name,
+        (regexp_replace(n1, '-[0-9]{{2}}$', '') <> n1) AS is_henka
+      FROM n0
+    ),
+    n2 AS (
+      SELECT *, {reduced} AS reduced,
+        regexp_extract(name, {_sql_str(re_gl)}, 2) AS gl4,
+        list_filter(
+          list_transform(regexp_extract_all(name, {_sql_str(re_cdp)}, 0),
+            c -> CASE WHEN regexp_matches(c, '^cdp[on]')
+                        AND NOT list_contains({keys_list}, c)
+                      THEN 'cdp-' || substr(c, -4) ELSE c END),
+          c -> list_contains({keys_list}, c))[1] AS enc_cdp
+      FROM n1
+    ),
+    n3 AS (
+      SELECT *, {enc_ucs_case} AS enc_ucs,
+        ({ruleset("name", "dont-create")}
+         OR (gl4 <> '' AND NOT regexp_matches(gl4, {_sql_str(re_valid_gl)}))
+         OR (gl4 = '' AND len(list_filter(
+               regexp_extract_all(name, {_sql_str(re_cdp)}, 2),
+               n -> NOT regexp_matches(n, {_sql_str(re_valid_cdp)}))) > 0)
+        ) AS prohibited,
+        regexp_matches(name, {_sql_str(re_ids_head)}) AS is_ids,
+        (len(list_filter(
+           regexp_extract_all(name, '\\bu[23]?[0-9a-f]{{4}}\\b', 0),
+           u -> u = 'u3013' OR (u >= 'ue000' AND u <= 'uf8ff'))) > 0) AS bad_ucs,
+        ({ruleset("name", "rule")}
+         OR (NOT is_var AND {ruleset("name", "rule-novar")})
+         OR (NOT is_henka AND {ruleset("name", "rule-nohenka")})
+         OR (NOT is_var AND NOT is_henka
+             AND {ruleset("name", "rule-novar-nohenka")})) AS tier_ok,
+        {ruleset("name", "deprecated-rule")} AS deprecated
+      FROM n2
+    ),
+    coded AS (
+      SELECT doc_id, reduced, enc_cdp, enc_ucs,
+        CASE WHEN prohibited THEN '2'
+             WHEN is_ids THEN (
+               CASE WHEN reduced <> '漢' THEN '1'
+                    WHEN enc_cdp IS NOT NULL THEN '3'
+                    WHEN bad_ucs THEN '1' END)
+             WHEN tier_ok THEN NULL
+             WHEN deprecated THEN '4'
+             ELSE '0' END AS errcode
+      FROM n3
+    )
+    SELECT doc_id, errcode,
+      CASE errcode WHEN '1' THEN reduced
+                   WHEN '3' THEN enc_cdp || '|' || enc_ucs
+                   ELSE '' END AS params
+    FROM coded WHERE errcode IS NOT NULL
+    """
+
+
 def related_sql(
     parquet_expr: str,
     attrs_expr: str,
@@ -340,6 +467,279 @@ def related_sql(
         WHEN '2' THEN entity_ref
         WHEN '10' THEN entity_ref || '|' || ent_related || '|' || expected
         WHEN '11' THEN entity_ref || '|' || expected END AS params
+    FROM coded WHERE errcode IS NOT NULL
+    """
+
+
+_KEIJO_KUMIAWASE = [
+    (1, 0, 0), (1, 0, 2), (1, 0, 32), (1, 0, 13), (1, 0, 23), (1, 0, 4),
+    (1, 0, 313), (1, 0, 413), (1, 0, 24), (1, 2, 0), (1, 2, 2), (1, 32, 0),
+    (1, 32, 32), (1, 32, 13), (1, 32, 23), (1, 32, 4), (1, 32, 313),
+    (1, 32, 413), (1, 32, 24), (1, 12, 0), (1, 12, 32), (1, 12, 13),
+    (1, 12, 23), (1, 12, 313), (1, 12, 413), (1, 12, 24), (1, 22, 0),
+    (1, 22, 32), (1, 22, 13), (1, 22, 23), (1, 22, 4), (1, 22, 313),
+    (1, 22, 413), (1, 22, 24), (2, 0, 7), (2, 0, 5), (2, 32, 7), (2, 32, 4),
+    (2, 32, 5), (2, 12, 7), (2, 22, 7), (2, 22, 4), (2, 22, 5), (2, 7, 0),
+    (2, 7, 8), (2, 7, 4), (2, 27, 0), (3, 0, 0), (3, 0, 5), (3, 0, 32),
+    (3, 32, 0), (3, 32, 5), (3, 32, 32), (3, 12, 0), (3, 12, 5), (3, 12, 32),
+    (3, 22, 0), (3, 22, 5), (3, 22, 32), (4, 0, 0), (4, 0, 5), (4, 22, 0),
+    (4, 22, 5), (6, 0, 7), (6, 0, 5), (6, 32, 7), (6, 32, 4), (6, 32, 5),
+    (6, 12, 7), (6, 22, 7), (6, 22, 4), (6, 22, 5), (6, 7, 0), (6, 7, 8),
+    (6, 7, 4), (6, 27, 0), (7, 0, 7), (7, 32, 7), (7, 12, 7), (7, 22, 7),
+    (0, 0, 0), (0, -1, -1), (0, 99, 1), (0, 99, 2), (0, 99, 3), (0, 98, 0),
+    (0, 97, 0), (9, 0, 0),
+]
+_HIKANJI_EXTRA = [(2, 32, 0), (6, 32, 0), (2, 32, 8), (6, 32, 8)]
+
+
+def illegal_sql(parquet_expr: str) -> str:
+    """illegal rule (illegal.py:333-365): per-line schema validation
+    (arity per stroke type, type-0 forms, geometry sanity, allowed
+    (stype, head, tail) combos) + whole-record alias-like / blank-like
+    codes 7/8.  Emits (doc_id, errcode, detail_key) matching the Spark
+    query projection.  Independent DuckDB re-implementation — mirrors
+    the reference semantics, not the Spark expression tree."""
+    combos = ", ".join(f"'{a},{b},{c}'" for a, b, c in _KEIJO_KUMIAWASE)
+    combos_hk = ", ".join(
+        f"'{a},{b},{c}'" for a, b, c in _KEIJO_KUMIAWASE + _HIKANJI_EXTRA
+    )
+    yoko = (
+        "((d[5] = d[7] AND d[4] <> d[6]) OR "
+        "(-(d[6] - d[4]) < (d[7] - d[5]) AND (d[7] - d[5]) < (d[6] - d[4])))"
+    )
+    # per-span class for alias-like (illegal.py:102-138) over the parsed
+    # int list `d` of ONE line
+    stretch_ok = """
+      (len(d) >= 7 AND d[4] = 0 AND d[5] = 0 AND d[6] = 200 AND d[7] = 200
+       AND d[2] IS NOT NULL AND d[3] IS NOT NULL
+       AND (CASE WHEN d[2] > 100
+                 THEN len(d) >= 11 AND d[10] IS NOT NULL AND d[11] IS NOT NULL
+                 ELSE TRUE END)
+       AND (((CASE WHEN d[2] > 100 THEN d[2] - 200 ELSE d[2] END) = 0 AND d[3] = 0)
+         OR ((CASE WHEN d[2] > 100 THEN d[2] - 200 ELSE d[2] END)
+               = (CASE WHEN d[2] > 100 THEN d[10] ELSE 0 END)
+             AND d[3] = (CASE WHEN d[2] > 100 THEN d[11] ELSE 0 END))))
+    """
+    return f"""
+    WITH {docs_cte(parquet_expr)},
+    d2 AS (
+      SELECT doc_id, spans, n_spans,
+        (entity_ref IS NOT NULL) AS is_alias,
+        (category = 'ucs-hikanji' OR (category = 'koseki'
+          AND substr(doc_id, 8, 1) = '9')) AS is_hikanji
+      FROM docs WHERE category <> 'user-owned'
+    ),
+    lines0 AS (
+      SELECT doc_id, is_alias, is_hikanji, n_spans,
+             s.text AS text, s.offset AS off,
+             list_transform(string_split(s.text, ':'),
+                            c -> {kint("c")}) AS d0
+      FROM d2, unnest(spans) AS u(s)
+    ),
+    lines1 AS (
+      SELECT * EXCLUDE (d0),
+        CASE WHEN d0[1] = 99
+             THEN list_transform(d0, (x, i) ->
+                    CASE WHEN i = 8 THEN NULL ELSE x END)
+             ELSE d0 END AS d
+      FROM lines0
+    ),
+    lines2 AS (
+      SELECT *, len(d) AS dn, d[1] AS st,
+        concat_ws(',', d[2], d[3]) AS pair12,
+        CASE WHEN is_hikanji AND d[1] >= 0 THEN d[1] % 100 ELSE d[1] END AS st_eff,
+        CASE WHEN is_hikanji AND d[2] >= 0 THEN d[2] % 100 ELSE d[2] END AS s0,
+        CASE WHEN is_hikanji AND d[3] >= 0 THEN d[3] % 100 ELSE d[3] END AS s1,
+        CASE WHEN st_eff = 1 THEN 7 WHEN st_eff IN (2, 3, 4) THEN 9
+             WHEN st_eff IN (6, 7) THEN 11 WHEN st_eff = 9 THEN 7 END AS exp,
+        floor((len(d) - 3) / 2.0)::INT AS n_pairs
+      FROM lines1
+    ),
+    lines3 AS (
+      SELECT *,
+        (len(list_filter(d[exp + 1:],
+             x -> x IS NULL OR x <> 0)) > 0) AS extras_nonzero,
+        concat_ws(',', st_eff, s0, s1) AS combo,
+        CASE WHEN n_pairs <= 0 THEN TRUE
+             ELSE len(list_filter(range(0, n_pairs), i ->
+                  d[4 + 2 * i] IS NULL OR d[5 + 2 * i] IS NULL)) = 0
+        END AS pairs_ok
+      FROM lines2
+    ),
+    coded AS (
+      SELECT doc_id, off, text,
+        CASE
+          WHEN st = 99 THEN (CASE WHEN dn NOT IN (8, 11) THEN '4' END)
+          WHEN st = 0 THEN (
+            CASE WHEN (dn = 4 AND pair12 = '0,0' AND d[4] = 0)
+                   OR (dn = 4 AND pair12 = '-1,-1' AND d[4] = -1) THEN NULL
+                 WHEN d[2] IS NOT NULL AND d[3] IS NOT NULL AND pair12 IN
+                      ('99,1', '99,2', '99,3', '98,0', '97,0')
+                   THEN (CASE WHEN dn <> 7 THEN '4' END)
+                 WHEN dn NOT IN (4, 7) THEN '4'
+                 WHEN pair12 IN ('0,0', '-1,-1')
+                      AND d[2] IS NOT NULL AND d[3] IS NOT NULL THEN '5'
+                 ELSE '6' END)
+          ELSE (
+            CASE WHEN st IS NULL THEN '0'
+                 WHEN st_eff NOT IN (1, 2, 3, 4, 6, 7, 9) THEN '0'
+                 WHEN dn < exp THEN '1'
+                 WHEN dn > exp THEN (CASE WHEN extras_nonzero THEN '2' ELSE '3' END)
+                 WHEN st_eff = 9 THEN '9'
+                 WHEN d[2] IS NULL OR d[3] IS NULL THEN '6'
+                 WHEN pairs_ok AND st_eff = 1 AND {yoko}
+                      AND (s0 IN (12, 22, 32) OR s1 IN (32, 13, 23, 24, 313, 413))
+                   THEN '10'
+                 WHEN pairs_ok AND st_eff = 1 AND NOT {yoko}
+                      AND (s0 = 2 OR s1 = 2) THEN '11'
+                 WHEN pairs_ok AND st_eff = 3 AND {yoko} THEN '30'
+                 WHEN pairs_ok AND st_eff = 3 AND s1 = 5 AND d[6] = d[8] THEN '31'
+                 WHEN pairs_ok AND st_eff = 4 AND {yoko} THEN '40'
+                 WHEN pairs_ok AND st_eff = 4 AND s1 = 5 AND d[6] >= d[8] THEN '41'
+                 WHEN (CASE WHEN is_hikanji THEN combo NOT IN ({combos_hk})
+                            ELSE combo NOT IN ({combos}) END) THEN '6'
+            END)
+        END AS errcode
+      FROM lines3
+    ),
+    line_v AS (
+      SELECT doc_id, errcode,
+        array_to_string(string_split(text, ':')[1:3], ':')
+          || '#' || doc_id || '#' || lpad(off::VARCHAR, 6, '0') AS detail_key
+      FROM coded WHERE errcode IS NOT NULL
+    ),
+    cls AS (
+      SELECT doc_id, any_value(is_alias) AS is_alias,
+        any_value(n_spans) AS n_spans,
+        bool_or(CASE
+          WHEN st IS NULL OR st < 0 THEN TRUE
+          WHEN st = 0 THEN (dn >= 3 AND d[2] IN (97, 98, 99))
+          WHEN st = 99 THEN NOT ({stretch_ok})
+          WHEN st % 100 = 9 THEN FALSE
+          ELSE TRUE END) AS any_f,
+        sum((st = 99 AND ({stretch_ok}))::INT) AS n_q,
+        bool_and(NOT (st IS NULL OR st < 0 OR st = 99
+                      OR st % 100 IN (1, 2, 3, 4, 6, 7))) AS all_blank,
+        bool_or(off = 0 AND text = '0:-1:-1:-1') AS first_blank
+      FROM lines2 GROUP BY doc_id
+    ),
+    rec_v AS (
+      SELECT doc_id, '7' AS errcode, doc_id AS detail_key FROM cls
+      WHERE NOT is_alias AND NOT any_f AND n_q = 1
+      UNION ALL
+      SELECT doc_id, '8', doc_id FROM cls
+      WHERE all_blank AND NOT (n_spans = 1 AND first_blank)
+    )
+    SELECT * FROM line_v UNION ALL SELECT * FROM rec_v
+    """
+
+
+def ids_sql(parquet_expr: str) -> str:
+    """ids rule (ids.py:101-197): IDC structure in the NAME vs the
+    existence-checked entity's first part span.  Emits
+    (doc_id, errcode, detail_key) matching the Spark query projection.
+
+    RE2 has no lookahead, so the reference's ``(?=@|$)`` suffix regex
+    (ids.py:83) is rewritten with an explicit optional ``@...`` tail
+    anchored at end — same accepted set, since anything after ``@`` is
+    version text."""
+    re_vars = "-" + RE_REGIONS + r"?([0-9]{2})(-(var|itaiji)-[0-9]{3})?(@.*)?$"
+    re_idc = "^(u2ff[0-9a-f]|u31ef)$"
+    lr = "'u2ff0', 'u2ff2'"
+    tb = "'u2ff1', 'u2ff3'"
+    surround = "'u2ff4','u2ff5','u2ff6','u2ff7','u2ff8','u2ff9','u2ffa','u2ffc','u2ffd'"
+    k = kint  # shorthand
+    return f"""
+    WITH {docs_cte(parquet_expr)},
+    ents AS (
+      SELECT d.doc_id, d.entity_ref,
+        CASE WHEN d.entity_ref IS NOT NULL AND t.doc_id IS NOT NULL
+             THEN d.entity_ref ELSE d.doc_id END AS entity
+      FROM docs d LEFT JOIN docs t ON t.doc_id = d.entity_ref
+      WHERE d.category = 'ids'
+    ),
+    withspans AS (
+      SELECT e.doc_id, s.spans AS espans, s.spans[1].text AS ft,
+             string_split(s.spans[1].text, ':') AS fcols
+      FROM ents e JOIN docs s ON s.doc_id = e.entity
+    ),
+    parsed AS (
+      SELECT doc_id, espans, ft,
+        CASE WHEN len(fcols) >= 8 THEN fcols[8] END AS fp,
+        {k("fcols[1]")} AS st0,
+        {k("fcols[4]")} AS x1, {k("fcols[5]")} AS y1,
+        {k("fcols[6]")} AS x2, {k("fcols[7]")} AS y2
+      FROM withspans
+      WHERE len(fcols) >= 7
+    ),
+    gated AS (
+      SELECT doc_id, espans, ft, fp,
+        CASE WHEN y1 = y2 THEN 1e308
+             ELSE abs((x1 - x2)::DOUBLE / (y1 - y2)) END AS aspect,
+        (x2 - x1)::DOUBLE AS dx, (y2 - y1)::DOUBLE AS dy,
+        string_split(doc_id, '-') AS sname
+      FROM parsed
+      WHERE st0 = 99 AND len(espans) > 1
+        AND x1 IS NOT NULL AND y1 IS NOT NULL
+        AND x2 IS NOT NULL AND y2 IS NOT NULL AND fp IS NOT NULL
+    ),
+    named AS (
+      SELECT *, sname[1] AS idc, sname[2] AS sn1,
+        nullif(regexp_extract(fp, '{re_vars}', 1), '') AS fbt,
+        list_filter(list_transform(sname, (x, i) ->
+          CASE WHEN regexp_matches(x, '{re_idc}') THEN NULL ELSE i END),
+          v -> v IS NOT NULL)[1] AS fki
+      FROM gated
+    ),
+    fk AS (
+      SELECT *, ((sn1 IN ({lr}) AND idc IN ({tb}))
+              OR (sn1 IN ({tb}) AND idc IN ({lr}))) AS is_complicated,
+        CASE WHEN fki IS NULL THEN NULL
+             WHEN sname[fki::INT] = 'cdp'
+             THEN 'cdp-' || sname[fki::INT + 1]
+             ELSE sname[fki::INT] END AS first_kanji
+      FROM named
+    ),
+    fkspan AS (
+      SELECT f.*,
+        list_filter(f.espans, s ->
+          s.kind = 'part' AND s.media_ref IS NOT NULL
+          AND len(string_split(s.text, ':')) >= 8
+          AND starts_with(string_split(s.text, ':')[8], f.first_kanji)
+        )[1].offset AS fk_off
+      FROM fk f
+    ),
+    coded AS (
+      SELECT doc_id,
+        CASE
+          WHEN idc IN ({lr}) THEN (
+            CASE WHEN fbt IN ('03','04','09','14','24') AND dx > 175.0 THEN '1'
+                 WHEN fbt = '02' THEN '2'
+                 WHEN NOT is_complicated
+                      AND NOT COALESCE(fbt IN ('01','08'), FALSE)
+                      AND aspect > 1.8 THEN '6'
+                 WHEN first_kanji IS NOT NULL AND fk_off IS NOT NULL
+                      AND fk_off <> 0 THEN '3' END)
+          WHEN idc IN ({tb}) THEN (
+            CASE WHEN fbt IN ('01','02','08') AND dy > 175.0 THEN '10'
+                 WHEN fbt IN ('04','14','24') THEN '12'
+                 WHEN NOT is_complicated
+                      AND NOT COALESCE(fbt IN ('03','09'), FALSE)
+                      AND aspect < 0.65 THEN '15'
+                 WHEN first_kanji IS NOT NULL AND fk_off IS NOT NULL
+                      AND fk_off <> 0 THEN '13' END)
+          WHEN idc IN ({surround}) THEN (
+            CASE WHEN fbt IN ('02','06','07') THEN '22'
+                 WHEN first_kanji IS NOT NULL AND fk_off IS NOT NULL
+                      AND fk_off <> 0 THEN '23' END)
+          WHEN idc = 'u2ffb' THEN (
+            CASE WHEN first_kanji IS NOT NULL AND fk_off IS NOT NULL
+                      AND fk_off <> 0 THEN '33' END)
+          WHEN idc = 'u31ef' THEN NULL
+          ELSE '90' END AS errcode
+      FROM fkspan
+    )
+    SELECT doc_id, errcode, doc_id AS detail_key
     FROM coded WHERE errcode IS NOT NULL
     """
 

@@ -43,6 +43,12 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     p.add_argument("--run-id", default="run")
     p.add_argument("--resume", action="store_true", help="skip completed (rule,bucket)s")
     p.add_argument("--no-cache", action="store_true")
+    p.add_argument(
+        "--ignore-error",
+        action="store_true",
+        help="quarantine per-record UDF crashes as __error__ rows "
+        "instead of failing the job (gwv.py:28-32)",
+    )
     args = p.parse_args(argv)
 
     # On a cluster the session comes fully configured from spark-submit
@@ -57,7 +63,13 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         documents = spark.table(args.input)
     attrs = spark.read.parquet(args.attrs) if args.attrs else None
 
-    ctx = engine.make_context(spark, documents, attrs=attrs, cache=not args.no_cache)
+    ctx = engine.make_context(
+        spark,
+        documents,
+        attrs=attrs,
+        cache=not args.no_cache,
+        ignore_error=args.ignore_error,
+    )
     rule_ids = args.rules or ALL_RULE_IDS
 
     out = args.output.rstrip("/")

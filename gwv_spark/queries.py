@@ -526,7 +526,50 @@ def text_minhash(spark, sf_dir):
     return textops.minhash_lsh_pairs(T(spark, sf_dir, "documents"), threshold=0.7)
 
 
-@q("text_simhash_near_pairs")  # pandas-UDF hashing: rows-only check
+@q(
+    "text_simhash_near_pairs",
+    # Independent oracle: recompute the md5-vote SimHash in SQL and find
+    # pairs by BRUTE-FORCE O(n^2) Hamming join — verifying not just the
+    # hash but that the engine's block-permutation candidate trick
+    # (any pair within distance k shares one of k+1 exact blocks) loses
+    # no pairs.
+    lambda sf: """
+    WITH d AS (SELECT doc_id, text FROM documents),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(COALESCE(text, ''),
+                    '\\s+'), t -> t <> '')) AS tok
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN (hv >> i::INT) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS i) r
+      GROUP BY doc_id, i
+    ),
+    shu AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (1::UBIGINT << i::INT)
+                      ELSE 0::UBIGINT END)::HUGEINT AS u
+      FROM votes GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT d.doc_id,
+        COALESCE((CASE WHEN s.u >= 9223372036854775808::HUGEINT
+                       THEN s.u - 18446744073709551616::HUGEINT
+                       ELSE s.u END)::BIGINT, 0) AS simhash
+      FROM d LEFT JOIN shu s USING (doc_id)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def text_simhash(spark, sf_dir):
     return textops.simhash_near_pairs(T(spark, sf_dir, "documents"), max_hamming=3)
 
@@ -812,7 +855,12 @@ def gwv_related_q(spark, sf_dir):
     return v.select("doc_id", "errcode", params.alias("params"))
 
 
-@q("gwv_ids_violations")  # rows-only: entity-join + IDS token walk
+@q(
+    "gwv_ids_violations",
+    lambda sf: __import__("gwv_spark.gwv_sql", fromlist=["x"]).ids_sql(
+        synth_docs_sql(sf)
+    ),
+)
 def gwv_ids_q(spark, sf_dir):
     from gwv_spark import engine
 
@@ -820,7 +868,18 @@ def gwv_ids_q(spark, sf_dir):
     return v.select("doc_id", "errcode", F.col("sortkey").alias("detail_key"))
 
 
-@q("gwv_naming_violations")  # rows-only: YAML rule tiers + reduction loop
+def _naming_oracle(sf: str) -> str:
+    from gwv_spark import gwv_sql
+    from gwv_spark.dims import load_naming_rules, synth_groups
+
+    g = synth_groups().get("UCSで符号化されたCDP外字", [])
+    it = iter(g)
+    return gwv_sql.naming_sql(
+        synth_docs_sql(sf), load_naming_rules(), dict(zip(it, it))
+    )
+
+
+@q("gwv_naming_violations", _naming_oracle)
 def gwv_naming_q(spark, sf_dir):
     from gwv_spark import engine
 
@@ -854,7 +913,12 @@ def gwv_width_q(spark, sf_dir):
     return v.select("doc_id", "errcode")
 
 
-@q("gwv_illegal_violations")  # rows-only: the 132-branch SQL mirror isn't worth the risk
+@q(
+    "gwv_illegal_violations",
+    lambda sf: __import__("gwv_spark.gwv_sql", fromlist=["x"]).illegal_sql(
+        synth_docs_sql(sf)
+    ),
+)
 def gwv_illegal_q(spark, sf_dir):
     from gwv_spark import engine
 

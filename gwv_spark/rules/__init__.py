@@ -42,6 +42,9 @@ class RuleContext:
     spans: DataFrame  # exploded spans (derive.exploded_spans)
     attrs: DataFrame | None = None  # doc_attrs(doc_id, related, ts)
     dims: dict[str, DataFrame] = field(default_factory=dict)
+    # --ignore-error (gwv.py:28-32): quarantine per-record UDF crashes
+    # as __error__ violation rows instead of failing the job
+    ignore_error: bool = False
 
 
 RuleFn = Callable[[RuleContext], DataFrame]

@@ -522,13 +522,29 @@ _RESULT_TYPE = ArrayType(
 )
 
 
-@pandas_udf(_RESULT_TYPE)
-def _corner_udf(gdata: pd.Series, is_g: pd.Series, is_t: pd.Series) -> pd.Series:
-    out = []
-    for g, gd, td in zip(gdata, is_g, is_t):
-        hits = _corner_violations(g, bool(gd), bool(td))
-        out.append([(code, [tl.ref(), yl.ref()]) for code, tl, yl in hits])
-    return pd.Series(out)
+def _make_corner_udf(ignore_error: bool):
+    """Per-record error quarantine (validator.py:46-55): a crashing
+    record either aborts the job (default, reference parity) or is
+    recorded as an ``__error__`` violation row and skipped — at
+    10^12-doc scale one malformed record must not kill a multi-hour
+    run, and a quarantine ROW is auditable where an executor log line
+    is not."""
+
+    @pandas_udf(_RESULT_TYPE)
+    def _corner_udf(gdata: pd.Series, is_g: pd.Series, is_t: pd.Series) -> pd.Series:
+        out = []
+        for g, gd, td in zip(gdata, is_g, is_t):
+            try:
+                hits = _corner_violations(g, bool(gd), bool(td))
+            except Exception as exc:  # noqa: BLE001
+                if not ignore_error:
+                    raise
+                out.append([("__error__", [f"S{type(exc).__name__}: {exc}"])])
+                continue
+            out.append([(code, [tl.ref(), yl.ref()]) for code, tl, yl in hits])
+        return pd.Series(out)
+
+    return _corner_udf
 
 
 @rule("corner")
@@ -542,7 +558,7 @@ def corner(ctx: RuleContext) -> DataFrame:
     d = (
         base.select(
             "doc_id",
-            _corner_udf(
+            _make_corner_udf(ctx.ignore_error)(
                 F.col("gdata"),
                 F.col("doc_id").rlike(RE_G_DESIGN),
                 F.col("doc_id").rlike(RE_T_DESIGN),

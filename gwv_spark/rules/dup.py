@@ -164,15 +164,25 @@ _RESULT_TYPE = StructType(
 )
 
 
-@pandas_udf(_RESULT_TYPE)
-def _dup_udf(gdata: pd.Series, hikanji: pd.Series) -> pd.DataFrame:
-    codes: list[str | None] = []
-    details: list[list[str] | None] = []
-    for g, hk in zip(gdata, hikanji):
-        hit = _first_dup(g, bool(hk))
-        codes.append(hit[0] if hit else None)
-        details.append(hit[1] if hit else None)
-    return pd.DataFrame({"errcode": codes, "detail": details})
+def _make_dup_udf(ignore_error: bool):
+    """Per-record error quarantine — see corner._make_corner_udf."""
+
+    @pandas_udf(_RESULT_TYPE)
+    def _dup_udf(gdata: pd.Series, hikanji: pd.Series) -> pd.DataFrame:
+        codes: list[str | None] = []
+        details: list[list[str] | None] = []
+        for g, hk in zip(gdata, hikanji):
+            try:
+                hit = _first_dup(g, bool(hk))
+            except Exception as exc:  # noqa: BLE001
+                if not ignore_error:
+                    raise
+                hit = ("__error__", [f"S{type(exc).__name__}: {exc}"])
+            codes.append(hit[0] if hit else None)
+            details.append(hit[1] if hit else None)
+        return pd.DataFrame({"errcode": codes, "detail": details})
+
+    return _dup_udf
 
 
 @rule("dup")
@@ -184,7 +194,10 @@ def dup(ctx: RuleContext) -> DataFrame:
     )
     d = (
         base.select(
-            "doc_id", _dup_udf(F.col("gdata"), F.col("is_hikanji")).alias("r")
+            "doc_id",
+            _make_dup_udf(ctx.ignore_error)(
+                F.col("gdata"), F.col("is_hikanji")
+            ).alias("r"),
         )
         .where(F.col("r.errcode").isNotNull())
         .select("doc_id", F.col("r.errcode").alias("ec"), F.col("r.detail").alias("dt"))

@@ -36,3 +36,17 @@ def test_job_end_to_end_and_resume(spark, tmp_path):
     job.main(args + ["--resume"], spark=spark)
     ledger2 = spark.read.parquet(str(out / "ledger"))
     assert ledger2.where("partition_id = -1").count() == 3
+
+
+def test_ignore_error_quarantine_wiring(spark, tmp_path):
+    """--ignore-error must not change results on healthy data (the
+    quarantine branch only fires on per-record crashes)."""
+    from gwv_spark import engine
+
+    data_dir = ensure_corpus(tmp_path / "corpus", 200)
+    docs = spark.read.parquet(str(data_dir / "documents.parquet"))
+    strict = engine.make_context(spark, docs)
+    lenient = engine.make_context(spark, docs, ignore_error=True)
+    a = engine.run_rules(strict, ["corner", "dup"])
+    b = engine.run_rules(lenient, ["corner", "dup"])
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
