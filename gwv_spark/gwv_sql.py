@@ -271,6 +271,486 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def width_sql(
+    parquet_expr: str,
+    groups: dict[str, list[str]],
+    buhin_widths: dict[str, tuple[float, float]],
+) -> str:
+    """width rule (width.py:93-156): effective horizontal extent vs
+    registered width class.  The order-dependent extent fold (a
+    nonspacing part copies the RUNNING min/max, width.py:132-134) runs
+    as list_reduce over the per-doc element list sorted by line order.
+    Emits (doc_id, errcode)."""
+    nonspacing = sorted(groups.get("NonSpacingGlyphs-Halfwidth", []))
+    half = sorted(
+        set(groups.get("HalfwidthGlyphs-BMP", []))
+        | set(groups.get("HalfwidthGlyphs-SMP", []))
+        | set(groups.get("HalfwidthGlyphs-nonUCS", []))
+        | set(groups.get("HalfwidthGlyphs-sans", []))
+    )
+
+    def dwidth(c: str) -> str:
+        ns = ", ".join(_sql_str(s) for s in nonspacing) or "''"
+        hf = ", ".join(_sql_str(s) for s in half) or "''"
+        return (
+            f"(CASE WHEN {c} IN ({ns}) THEN 0 "
+            f"WHEN {c} IN ({hf}) THEN 1 ELSE 2 END)"
+        )
+
+    buhin_a = "CASE " + " ".join(
+        f"WHEN gn = {_sql_str(p)} THEN xl + w * {lo} / 200.0"
+        for p, (lo, _) in buhin_widths.items()
+    ) + " END"
+    buhin_b = "CASE " + " ".join(
+        f"WHEN gn = {_sql_str(p)} THEN xl + w * {hi} / 200.0"
+        for p, (_, hi) in buhin_widths.items()
+    ) + " END"
+
+    re_half = r"^uff(6[1-9a-f]|[7-9a-d][0-9a-f]|e[89a-e])$"
+    re_full = r"^uff([0-5][0-9a-f]|60|e[0-6])$"
+    re_hen = "-" + RE_REGIONS + r"?01(-(var|itaiji)-|$)"
+
+    def is_half(c: str) -> str:
+        return f"(ends_with({c}, '-halfwidth') OR regexp_matches({c}, '{re_half}'))"
+
+    def is_full(c: str) -> str:
+        return f"(ends_with({c}, '-fullwidth') OR regexp_matches({c}, '{re_full}'))"
+
+    return f"""
+    WITH {docs_cte(parquet_expr)},
+    cand AS (
+      SELECT doc_id, spans FROM docs
+      WHERE category NOT IN ('ids', 'ucs-kanji', 'cdp', 'koseki', 'ext', 'bsh')
+        AND NOT has_transform
+    ),
+    lines0 AS (
+      SELECT doc_id, s.text AS text, s.offset AS off, s.media_ref AS gn,
+        list_transform(string_split(s.text, ':'), c -> {kint("c")}) AS d0
+      FROM cand, unnest(spans) AS u(s)
+    ),
+    lines1 AS (
+      SELECT * EXCLUDE (d0),
+        CASE WHEN d0[1] = 99
+             THEN list_transform(d0, (x, i) ->
+                    CASE WHEN i = 8 THEN NULL ELSE x END)
+             ELSE d0 END AS d
+      FROM lines0
+    ),
+    lines2 AS (
+      SELECT *, d[1] AS st, len(d) AS dn,
+        floor((len(d) - 3) / 2.0)::INT AS n_pairs
+      FROM lines1
+      WHERE d[1] IS NULL OR d[1] <> 0
+    ),
+    lines3 AS (
+      SELECT *
+      FROM lines2
+      WHERE CASE WHEN st = 99
+                 THEN dn >= 7 AND d[4] IS NOT NULL AND d[5] IS NOT NULL
+                      AND d[6] IS NOT NULL AND d[7] IS NOT NULL
+                 ELSE n_pairs > 0 AND len(list_filter(range(0, n_pairs),
+                      i -> d[4 + 2 * i] IS NULL OR d[5 + 2 * i] IS NULL)) = 0
+            END
+        AND (st IS NULL OR st <> 99 OR gn IS NOT NULL)
+    ),
+    elems0 AS (
+      SELECT doc_id, off, gn, st,
+        CASE WHEN st = 99 THEN NULL
+             ELSE list_min(list_filter(list_transform(range(0, n_pairs),
+                  i -> d[4 + 2 * i]), x -> x IS NOT NULL))::DOUBLE END AS smin,
+        CASE WHEN st = 99 THEN NULL
+             ELSE list_max(list_filter(list_transform(range(0, n_pairs),
+                  i -> d[4 + 2 * i]), x -> x IS NOT NULL))::DOUBLE END AS smax,
+        d[4]::DOUBLE AS xl, (d[6] - d[4])::DOUBLE AS w,
+        {dwidth("gn")} AS dw,
+        ({is_full("gn")} OR (gn || '-halfwidth') IN (SELECT doc_id FROM docs))
+          AS wide_quote,
+        ({buhin_a}) AS ba, ({buhin_b}) AS bb
+      FROM lines3
+    ),
+    elems AS (
+      SELECT doc_id, off,
+        CASE WHEN st = 99 AND dw = 0 AND ba IS NULL THEN 'N' ELSE 'V' END AS typ,
+        CASE WHEN st <> 99 OR st IS NULL THEN smin
+             WHEN ba IS NOT NULL THEN ba
+             WHEN dw = 0 THEN NULL
+             WHEN dw = 2 AND wide_quote THEN xl + w * 0.31
+             WHEN dw = 2 THEN xl + w * 0.06
+             ELSE xl + w * 0.06 END AS a,
+        CASE WHEN st <> 99 OR st IS NULL THEN smax
+             WHEN bb IS NOT NULL THEN bb
+             WHEN dw = 0 THEN NULL
+             WHEN dw = 2 AND wide_quote THEN xl + w * 0.69
+             WHEN dw = 2 THEN xl + w * 0.94
+             ELSE xl + w * 0.44 END AS b
+      FROM elems0
+    ),
+    folded AS (
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(
+            {{'mn': 'infinity'::DOUBLE, 'mx': '-infinity'::DOUBLE,
+              'typ': NULL::VARCHAR, 'a': NULL::DOUBLE, 'b': NULL::DOUBLE}},
+            list(
+              {{'mn': NULL::DOUBLE, 'mx': NULL::DOUBLE,
+                'typ': typ, 'a': a, 'b': b}} ORDER BY off)),
+          (acc, e) -> {{
+            'mn': CASE WHEN e.typ = 'N' THEN least(acc.mn, acc.mx)
+                       ELSE least(acc.mn, e.a, e.b) END,
+            'mx': CASE WHEN e.typ = 'N' THEN greatest(acc.mx, acc.mn)
+                       ELSE greatest(acc.mx, e.a, e.b) END,
+            'typ': NULL::VARCHAR, 'a': NULL::DOUBLE, 'b': NULL::DOUBLE}}
+        ) AS mm
+      FROM elems GROUP BY doc_id
+    ),
+    verdict AS (
+      SELECT c.doc_id,
+        CASE WHEN {is_full("c.doc_id")} THEN 0.0
+             WHEN {is_half("c.doc_id")} THEN 0.0
+             WHEN regexp_matches(c.doc_id, '{re_hen}') THEN 0.0
+             ELSE COALESCE(f.mm.mn, 'infinity'::DOUBLE) END AS minx,
+        CASE WHEN {is_full("c.doc_id")} THEN 200.0
+             WHEN {is_half("c.doc_id")} THEN 100.0
+             WHEN regexp_matches(c.doc_id, '{re_hen}') THEN 200.0
+             ELSE COALESCE(f.mm.mx, '-infinity'::DOUBLE) END AS maxx,
+        {dwidth("c.doc_id")} AS gwidth
+      FROM cand c LEFT JOIN folded f ON f.doc_id = c.doc_id
+    )
+    SELECT doc_id, gwidth::VARCHAR AS errcode
+    FROM verdict
+    WHERE maxx <> '-infinity'::DOUBLE
+      AND (maxx <= 110 AND minx < 90) <> (gwidth <> 2)
+    """
+
+
+def j_sql(
+    parquet_expr: str,
+    cjksrc: dict[str, list],
+    no_use_pairs: list[tuple[str, str]],
+    no_apply_re: str | None,
+    source_sep: list[str],
+) -> str:
+    """j rule (j.py:73-195): region suffix vs Unihan source columns,
+    jv/kv restrictions, nomark-entity equality, j/jv coexistence, and
+    the banned-part scan of the entity's spans — with the jv-config
+    dims expanded through one-level alias closures over the corpus
+    (dump.get_alias_of semantics, j.py:79-99).  Emits
+    (doc_id, errcode, params)."""
+    regions_re = "^-((?:[gtvh]v?|[mis]|k[pv]?|u[ks]?|j[asvn]?))([0-9]{2})?$"
+    region2col = {
+        "g": 0, "t": 1, "j": 2, "k": 3, "kp": 4, "v": 5,
+        "h": 6, "m": 7, "u": 8, "s": 9, "uk": 10,
+    }
+    cjk_vals = ", ".join(
+        "(" + ", ".join(
+            [_sql_str(u)]
+            + [
+                (_sql_str(c) if c is not None else "NULL")
+                for c in ([cols[2], cols[3]] + list(cols[0:11]))
+            ]
+        ) + ")"
+        for u, cols in sorted(cjksrc.items())
+    ) or "('', " + ", ".join(["NULL"] * 13) + ")"
+    src_cols = ", ".join(f"src{i}" for i in range(11))
+    nu_vals = ", ".join(
+        f"({_sql_str(nu)}, {_sql_str(use)}, {i})"
+        for i, (nu, use) in enumerate(no_use_pairs)
+    ) or "('', '', 0)"
+    sep_vals = ", ".join(_sql_str(s) for s in source_sep) or "''"
+    gokan = " OR ".join(f"(cp BETWEEN {lo} AND {hi})" for lo, hi in _GOKAN)
+    compat_inset = ",".join(map(str, _COMPAT))
+    region_src = "CASE region " + " ".join(
+        f"WHEN '{r}' THEN src{i}" for r, i in sorted(region2col.items())
+    ) + " END"
+    na_seeds = (
+        f"SELECT doc_id AS part FROM docs WHERE regexp_matches(doc_id, {_sql_str(no_apply_re)})"
+        if no_apply_re
+        else "SELECT '' AS part WHERE FALSE"
+    )
+    return f"""
+    WITH {docs_cte(parquet_expr)},
+    cjk(ucs, jsource, ksource, {src_cols}) AS (VALUES {cjk_vals}),
+    nu_seeds(part, use, idx) AS (VALUES {nu_vals}),
+    no_use AS (
+      -- last config entry wins (reference dict-comprehension overwrite)
+      SELECT banned, max_by(use, idx) AS use FROM (
+        SELECT part AS banned, use, idx FROM nu_seeds
+        UNION ALL
+        SELECT d.doc_id, s.use, s.idx FROM nu_seeds s
+        JOIN docs d ON d.entity_ref = s.part
+      ) GROUP BY banned
+    ),
+    na_seeds AS ({na_seeds}),
+    no_apply AS (
+      SELECT DISTINCT part AS na_part FROM (
+        SELECT part FROM na_seeds
+        UNION ALL
+        SELECT d.doc_id FROM na_seeds s JOIN docs d ON d.entity_ref = s.part
+      )
+    ),
+    probe AS (
+      SELECT ucs, max(nomark_entity) AS nomark_entity, max(has_j) AS has_j,
+             max(has_ja) AS has_ja, max(ucs_no_apply) AS ucs_no_apply
+      FROM (
+        SELECT doc_id AS ucs, COALESCE(entity_ref, doc_id) AS nomark_entity,
+               NULL::BOOLEAN AS has_j, NULL::BOOLEAN AS has_ja,
+               NULL::BOOLEAN AS ucs_no_apply
+        FROM docs
+        UNION ALL
+        SELECT substr(doc_id, 1, len(doc_id) - 2), NULL, TRUE, NULL, NULL
+        FROM docs WHERE ends_with(doc_id, '-j')
+        UNION ALL
+        SELECT substr(doc_id, 1, len(doc_id) - 3), NULL, NULL, TRUE, NULL
+        FROM docs WHERE ends_with(doc_id, '-ja')
+        UNION ALL
+        SELECT na_part, NULL, NULL, NULL, TRUE FROM no_apply
+      ) GROUP BY ucs
+    ),
+    jv_parts AS (
+      SELECT ent AS entity,
+        CASE WHEN bool_or(na_part IS NOT NULL) THEN TRUE END AS ent_has_no_apply,
+        min(CASE WHEN banned IS NOT NULL THEN {{'o': off, 'bp': banned, 'pp': use}} END).bp
+          AS banned_part,
+        min(CASE WHEN banned IS NOT NULL THEN {{'o': off, 'bp': banned, 'pp': use}} END).pp
+          AS preferred_part
+      FROM (
+        SELECT l.doc_id AS ent, l.off, na.na_part, nu.banned, nu.use
+        FROM (
+          SELECT doc_id, s.offset AS off,
+                 string_split(string_split(s.text, ':')[8], '@')[1] AS pbase
+          FROM docs, unnest(spans) AS u(s)
+          WHERE {kint("string_split(s.text, ':')[1]")} = 99
+            AND len(string_split(s.text, ':')) >= 8
+        ) l
+        LEFT JOIN no_apply na ON na.na_part = l.pbase
+        LEFT JOIN no_use nu ON nu.banned = l.pbase
+        WHERE na.na_part IS NOT NULL OR nu.banned IS NOT NULL
+      ) GROUP BY ent
+    ),
+    base AS (
+      SELECT doc_id, category, entity_ref,
+        CASE WHEN entity_ref IS NOT NULL AND tgt IS NOT NULL
+             THEN entity_ref ELSE doc_id END AS entity,
+        CASE WHEN regexp_extract(doc_id, '^u([0-9a-f]{{4,6}})(-.+)?$', 1) <> ''
+             THEN 'u' || regexp_extract(doc_id, '^u([0-9a-f]{{4,6}})(-.+)?$', 1)
+        END AS ucs
+      FROM (SELECT d.doc_id, d.category, d.entity_ref, t.doc_id AS tgt
+            FROM docs d LEFT JOIN docs t ON t.doc_id = d.entity_ref)
+      WHERE category IN ('ucs-kanji', 'ext', 'bsh')
+    ),
+    b1 AS (
+      SELECT b.*, substr(b.doc_id, len(b.ucs) + 1) AS tail,
+        c.jsource, c.ksource, {src_cols}
+      FROM base b LEFT JOIN cjk c ON c.ucs = b.ucs
+    ),
+    b2 AS (
+      SELECT b.*, nullif(regexp_extract(tail, '{regions_re}', 1), '') AS region,
+        (regexp_extract(tail, '{regions_re}', 2) <> '') AS is_henka,
+        (b.ucs IN ({sep_vals})) AS in_source_sep,
+        (SELECT ({gokan}) AND cp NOT IN ({compat_inset}) FROM
+          (SELECT TRY_CAST(('0x' || substr(b.ucs, 2)) AS UBIGINT)::BIGINT AS cp))
+          AS gokan,
+        p.nomark_entity, p.has_j, p.has_ja, p.ucs_no_apply,
+        jp.ent_has_no_apply, jp.banned_part, jp.preferred_part
+      FROM b1 b
+      LEFT JOIN probe p ON p.ucs = b.ucs
+      LEFT JOIN jv_parts jp ON jp.entity = b.entity
+    ),
+    b3 AS (
+      SELECT *,
+        (CASE WHEN ent_has_no_apply IS NULL AND banned_part IS NOT NULL
+              THEN '2' END) AS check_jv,
+        {region_src} AS region_src,
+        (CASE WHEN is_henka THEN '41' ELSE '40' END) AS no_source
+      FROM b2
+    ),
+    b4 AS (
+      SELECT *,
+        CASE WHEN region = 'jv' THEN (
+               CASE WHEN jsource IS NOT NULL THEN '30'
+                    WHEN in_source_sep THEN '5' END)
+             WHEN region = 'kv' THEN
+               (CASE WHEN ksource IS NOT NULL THEN '31' END)
+             WHEN region IN ('gv', 'tv', 'vv', 'hv', 'jn') THEN '~'
+             WHEN region IN ('j', 'ja') THEN
+               (CASE WHEN jsource IS NULL THEN no_source END)
+             WHEN region IN ('g','t','j','k','kp','v','h','m','u','s','uk') THEN
+               (CASE WHEN region_src IS NULL THEN no_source END)
+             ELSE '~' END AS src_stage,
+        (nomark_entity IS NOT NULL AND entity <> nomark_entity
+         AND NOT is_henka) AS nomark_diff
+      FROM b3
+    ),
+    coded AS (
+      SELECT doc_id,
+        CASE WHEN category IN ('bsh', 'ext') THEN check_jv
+             WHEN ucs IS NULL THEN NULL
+             WHEN tail = '' THEN (
+               CASE WHEN gokan THEN NULL
+                    WHEN jsource IS NULL AND ucs_no_apply IS NULL
+                         AND NOT in_source_sep THEN check_jv END)
+             WHEN region IS NULL THEN NULL
+             WHEN src_stage IS NOT NULL THEN src_stage
+             WHEN region NOT IN ('j', 'ja', 'jv') THEN NULL
+             ELSE (
+               CASE WHEN nomark_entity IS NULL THEN NULL
+                    WHEN nomark_diff THEN '0'
+                    WHEN region <> 'jv' THEN NULL
+                    WHEN has_j IS NOT NULL THEN '1j'
+                    WHEN has_ja IS NOT NULL THEN '1ja'
+                    WHEN ucs_no_apply IS NULL THEN check_jv END)
+        END AS ec,
+        banned_part, preferred_part, jsource, ksource
+      FROM b4
+    )
+    SELECT doc_id,
+      CASE WHEN ec IN ('1j', '1ja') THEN '1' ELSE ec END AS errcode,
+      CASE ec WHEN '2' THEN banned_part || '|' || preferred_part
+              WHEN '30' THEN jsource
+              WHEN '31' THEN ksource
+              WHEN '1j' THEN 'j'
+              WHEN '1ja' THEN 'ja'
+              ELSE '' END AS params
+    FROM coded WHERE ec IS NOT NULL AND ec <> '~'
+    """
+
+
+def mj_sql(
+    parquet_expr: str,
+    attrs_expr: str,
+    classifiers: list[tuple[int, str, int, str]],
+    keyed: list[tuple[int, str]],
+    xref: list[tuple[int, str, int, list[str]]],
+    raw_ucs: list[tuple[int, str, str, bool]],
+) -> str:
+    """mj rule (mj.py:222-281): name→(field,key) classification against
+    the MJ cross-reference table (inlined as VALUES from the same dim
+    the engine loads), entity consistency, and expected-UCS 'related'
+    checks with the non-togo resolution of mj.py:262-269.  Emits
+    (doc_id, errcode)."""
+    re_ids = r"^(u2ff[0-9a-f]|u31ef)-.+$"
+
+    def classify(n: str) -> tuple[str, str]:
+        fw, kw = [], []
+        for f_id, pat, grp, prefix in classifiers:
+            m = f"regexp_matches({n}, {_sql_str(pat)})"
+            if f_id == 6:  # F_UCS excludes IDS names
+                m += f" AND NOT regexp_matches({n}, {_sql_str(re_ids)})"
+            k = n if grp == 0 else f"regexp_extract({n}, {_sql_str(pat)}, {grp})"
+            if prefix:
+                k = f"'{prefix}' || {k}"
+            fw.append(f"WHEN {m} THEN {f_id}")
+            kw.append(f"WHEN {m} THEN lower({k})")
+        return (
+            "CASE " + " ".join(fw) + " END",
+            "CASE " + " ".join(kw) + " END",
+        )
+
+    f_doc, k_doc = classify("doc_id")
+    f_ent, k_ent = classify("entity_ref")
+
+    keyed_vals = ", ".join(f"({f}, {_sql_str(k)})" for f, k in keyed) or "(-1, '')"
+    xref_vals = ", ".join(
+        f"({kf}, {_sql_str(k)}, {gf}, [{', '.join(_sql_str(g) for g in gws)}])"
+        for kf, k, gf, gws in xref
+    ) or "(-1, '', -1, ['']::VARCHAR[])"
+    ucs_vals = ", ".join(
+        f"({f}, {_sql_str(k)}, {_sql_str(u)}, {str(t).upper()})"
+        for f, k, u, t in raw_ucs
+    ) or "(-1, '', '', FALSE)"
+
+    return f"""
+    WITH {docs_cte(parquet_expr)},
+    attrs AS (SELECT doc_id, related FROM {attrs_expr}),
+    keyed(field, key) AS (VALUES {keyed_vals}),
+    xref(kfield, key, gfield, gws) AS (VALUES {xref_vals}),
+    ucs1(field, key, ucs, is_togo) AS (VALUES {ucs_vals}),
+    resolved AS (
+      SELECT field, key, list(resolved ORDER BY resolved) AS ucs_expected
+      FROM (
+        SELECT DISTINCT u.field, u.key,
+          CASE WHEN u.is_togo THEN u.ucs
+               WHEN d.doc_id IS NOT NULL
+               THEN COALESCE(a.related, 'u3013') ELSE 'u3013' END AS resolved
+        FROM ucs1 u
+        LEFT JOIN docs d ON d.doc_id = u.ucs
+        LEFT JOIN attrs a ON a.doc_id = u.ucs
+      ) WHERE resolved <> 'u3013'
+      GROUP BY field, key
+    ),
+    base AS (
+      SELECT doc_id, entity_ref,
+        (entity_ref IS NOT NULL) AS is_alias,
+        CASE WHEN entity_ref IS NOT NULL AND tgt IS NOT NULL
+             THEN entity_ref ELSE doc_id END AS entity,
+        {f_doc} AS field, {k_doc} AS key
+      FROM (
+        SELECT d.doc_id, d.entity_ref, d.category, t.doc_id AS tgt
+        FROM docs d LEFT JOIN docs t ON t.doc_id = d.entity_ref
+      )
+      WHERE category NOT IN ('user-owned', 'ids', 'cdp', 'ext', 'bsh')
+    ),
+    b1 AS (
+      SELECT * FROM base WHERE field IS NOT NULL
+    ),
+    b2 AS (
+      SELECT b.*, (k.field IS NOT NULL) AS has_idx,
+        {f_ent} AS e_field, {k_ent} AS e_key
+      FROM b1 b LEFT JOIN keyed k USING (field, key)
+    ),
+    b3 AS (
+      SELECT b.*,
+        (b.entity_ref IS NOT NULL
+         AND NOT regexp_matches(b.doc_id, '-itaiji-[0-9]{{3}}$')
+         AND b.e_field IS NOT NULL AND b.e_field <> b.field) AS check_entity,
+        xe.gws AS entity_expected,
+        xo.gws AS expected_from_entity
+      FROM b2 b
+      LEFT JOIN xref xe ON xe.kfield = b.field AND xe.key = b.key
+                        AND xe.gfield = b.e_field
+      LEFT JOIN xref xo ON xo.kfield = b.e_field AND xo.key = b.e_key
+                        AND xo.gfield = b.field
+    ),
+    b4 AS (
+      SELECT b.*, r.ucs_expected,
+        COALESCE(ao.related, 'u3013') AS related,
+        COALESCE(ae.related, 'u3013') AS entity_related
+      FROM b3 b
+      LEFT JOIN resolved r USING (field, key)
+      LEFT JOIN attrs ao ON ao.doc_id = b.doc_id
+      LEFT JOIN attrs ae ON ae.doc_id = b.entity
+    ),
+    b5 AS (
+      SELECT *,
+        CASE WHEN related = 'u3013' AND is_alias
+             THEN entity_related ELSE related END AS eff_related,
+        CASE WHEN e_field = 6 THEN string_split(entity_ref, '-')[1]
+             ELSE entity_ref END AS entity_base,
+        CASE WHEN field = 6 THEN string_split(doc_id, '-')[1]
+             ELSE doc_id END AS own_base
+      FROM b4
+    ),
+    coded AS (
+      SELECT doc_id,
+        CASE WHEN (NOT has_idx) AND field = 0 AND key < '090000' THEN '3'
+             WHEN NOT has_idx THEN NULL
+             WHEN check_entity
+                  AND entity_expected IS NOT NULL AND len(entity_expected) > 0
+                  AND NOT list_contains(entity_expected, entity_base)
+                  AND expected_from_entity IS NOT NULL
+                  AND len(expected_from_entity) > 0
+                  AND NOT list_contains(expected_from_entity, own_base) THEN '0'
+             WHEN ucs_expected IS NOT NULL AND len(ucs_expected) > 0 THEN (
+               CASE WHEN eff_related = 'u3013' THEN '2'
+                    WHEN NOT list_contains(ucs_expected, eff_related) THEN '1'
+               END)
+        END AS errcode
+      FROM b5
+    )
+    SELECT doc_id, errcode FROM coded WHERE errcode IS NOT NULL
+    """
+
+
 def naming_sql(
     parquet_expr: str,
     rules_cfg: dict,

@@ -609,7 +609,43 @@ def vec_cosine_topk(spark, sf_dir):
     return vectorops.cosine_topk(emb, probes, k=10)
 
 
-@q("vec_lsh_cosine_topk")  # approximate path: rows-only check
+def _lsh_oracle(sf: str) -> str:
+    from gwv_spark.vectorops import _hyperplane
+
+    planes = [
+        "[" + ", ".join(repr(x) for x in _hyperplane(64, i)) + "]" for i in range(6)
+    ]
+    bucket = " + ".join(
+        f"((list_dot_product(v, {p}) > 0)::BIGINT << {i})"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    bucketed AS (SELECT vec_id, v, {bucket} AS b FROM emb),
+    probes AS (
+      SELECT vec_id AS probe_id, v AS pv, b AS pb
+      FROM bucketed WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT p.probe_id, e.vec_id,
+             ROUND(list_dot_product(e.v, p.pv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(p.pv, p.pv))), 6) AS cosine
+      FROM bucketed e JOIN probes p ON e.b = p.pb
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT probe_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@q("vec_lsh_cosine_topk", _lsh_oracle)
 def vec_lsh_topk(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 5).select(
@@ -888,7 +924,31 @@ def gwv_naming_q(spark, sf_dir):
     return v.select("doc_id", "errcode", params.alias("params"))
 
 
-@q("gwv_j_violations")  # rows-only: alias-closure dims + multi-source joins
+def _j_oracle(sf: str) -> str:
+    from gwv_spark import gwv_sql
+    from gwv_spark.dims import load_jv_config, synth_cjksrc, synth_groups
+    from gwv_spark.rules.j import RE_REGIONS
+
+    jv = load_jv_config()
+    no_use_pairs = [
+        (nu, use) for use, nus in jv["no_use_part"].items() for nu in nus
+    ]
+    no_apply_re = (
+        "^(" + "|".join(jv["no_apply"]) + ")(-(" + RE_REGIONS
+        + r")([0-9]{2})?$|(-[0-9]{2})?(-var-[0-9]{3})?)$"
+        if jv["no_apply"]
+        else None
+    )
+    return gwv_sql.j_sql(
+        synth_docs_sql(sf),
+        synth_cjksrc(),
+        no_use_pairs,
+        no_apply_re,
+        synth_groups().get("原規格分離", []),
+    )
+
+
+@q("gwv_j_violations", _j_oracle)
 def gwv_j_q(spark, sf_dir):
     from gwv_spark import engine
 
@@ -897,7 +957,58 @@ def gwv_j_q(spark, sf_dir):
     return v.select("doc_id", "errcode", params.alias("params"))
 
 
-@q("gwv_mj_violations")  # rows-only: MJ cross-reference joins
+def _mj_oracle(sf: str) -> str:
+    import re as _re
+
+    from gwv_spark import gwv_sql
+    from gwv_spark.derive import TOGO_IN_COMPAT, TOGO_RANGES
+    from gwv_spark.dims import synth_mj
+    from gwv_spark.rules.mj import _CLASSIFIERS, _key2gw
+
+    table = synth_mj()
+    k2i, i2g = [], []
+    for idx, row in enumerate(table):
+        for field, keys in enumerate(row):
+            if keys is None:
+                continue
+            for key in keys if isinstance(keys, list) else [keys]:
+                k2i.append((field, key.lower(), idx))
+                i2g.append((idx, field, _key2gw(field, key)))
+    keyed = sorted({(f, k) for f, k, _ in k2i})
+    xref_map: dict[tuple, set] = {}
+    ucs_map: dict[tuple, set] = {}
+    for f, k, idx in k2i:
+        for idx2, gf, gw in i2g:
+            if idx2 != idx:
+                continue
+            if gf != f:
+                xref_map.setdefault((f, k, gf), set()).add(gw)
+            if gf == 6:  # F_UCS
+                ucs_map.setdefault((f, k), set()).add(gw)
+    xref = [(kf, k, gf, sorted(g)) for (kf, k, gf), g in sorted(xref_map.items())]
+
+    def togo(u: str) -> bool:
+        m = _re.fullmatch(r"u([0-9a-f]{4,6})", u)
+        if not m:
+            return False
+        cp = int(m.group(1), 16)
+        return any(lo <= cp <= hi for lo, hi in TOGO_RANGES) or cp in TOGO_IN_COMPAT
+
+    raw_ucs = [
+        (f, k, u, togo(u)) for (f, k), us in sorted(ucs_map.items()) for u in sorted(us)
+    ]
+    d = synth_dir_for(sf)
+    return gwv_sql.mj_sql(
+        synth_docs_sql(sf),
+        f"read_parquet('{d}/doc_attrs.parquet')",
+        _CLASSIFIERS,
+        keyed,
+        xref,
+        raw_ucs,
+    )
+
+
+@q("gwv_mj_violations", _mj_oracle)
 def gwv_mj_q(spark, sf_dir):
     from gwv_spark import engine
 
@@ -905,7 +1016,15 @@ def gwv_mj_q(spark, sf_dir):
     return v.select("doc_id", "errcode")
 
 
-@q("gwv_width_violations")  # rows-only: order-dependent extent fold
+def _width_oracle(sf: str) -> str:
+    from gwv_spark import gwv_sql
+    from gwv_spark.dims import synth_groups
+    from gwv_spark.rules.width import BUHIN_WIDTHS
+
+    return gwv_sql.width_sql(synth_docs_sql(sf), synth_groups(), BUHIN_WIDTHS)
+
+
+@q("gwv_width_violations", _width_oracle)
 def gwv_width_q(spark, sf_dir):
     from gwv_spark import engine
 

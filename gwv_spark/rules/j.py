@@ -59,14 +59,22 @@ def j(ctx: RuleContext) -> DataFrame:
     source_sep = sorted(groups.get("原規格分離", []))
 
     # ---- setup dims (j.py:79-99)
+    # config position decides collisions: the reference builds this map
+    # by dict comprehension (j.py:81-86), so the LAST config entry for a
+    # given no-use part wins — max_by(idx) keeps that deterministic
+    # (dropDuplicates picks an arbitrary row under parallel execution)
     no_use_rows = [
-        (no_use, use) for use, no_uses in jv["no_use_part"].items() for no_use in no_uses
-    ] or [("", "")]
-    no_use_seeds = ctx.spark.createDataFrame(no_use_rows, "part STRING, use STRING")
+        (no_use, use, i)
+        for i, (use, no_uses) in enumerate(jv["no_use_part"].items())
+        for no_use in no_uses
+    ] or [("", "", 0)]
+    no_use_seeds = ctx.spark.createDataFrame(
+        no_use_rows, "part STRING, use STRING, idx INT"
+    )
     no_use = (
         _alias_closure(ctx, no_use_seeds, "part")
-        .select(F.col("part_m").alias("banned"), "use")
-        .dropDuplicates(["banned"])
+        .groupBy(F.col("part_m").alias("banned"))
+        .agg(F.max_by(F.col("use"), F.col("idx")).alias("use"))
     )
     no_apply_re = (
         "^(" + "|".join(jv["no_apply"]) + ")(-(" + RE_REGIONS + r")([0-9]{2})?$|(-[0-9]{2})?(-var-[0-9]{3})?)$"

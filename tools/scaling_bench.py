@@ -43,7 +43,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 N_CPUS, N4_CPUS = 4, 16
-REPS = 3
+REPS = 2
 
 _WORKER = r"""
 import json, sys, time
@@ -74,10 +74,9 @@ def run(df):
     return round(time.time() - t0, 2)
 
 # cold: first-ever execution of the big plan (codegen + JIT, reported
-# for transparency); then one more warm-up of each size
+# for transparency); then a warm-up of the small size
 cold_big = run(plans[n_big])
 run(plans[n_small])
-run(plans[n_big])
 
 times = {{n_small: [], n_big: []}}
 for _ in range(reps):
@@ -138,8 +137,8 @@ def hardware_calibration(n_lo: int = N_CPUS, n_hi: int = N4_CPUS) -> dict:
 
 
 def main() -> None:
-    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    n_big = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
+    n_big = int(sys.argv[2]) if len(sys.argv) > 2 else 3_000_000
     out_path = Path(sys.argv[3]) if len(sys.argv) > 3 else REPO / "BENCH_scaling.json"
 
     calib = hardware_calibration()
