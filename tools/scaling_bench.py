@@ -120,20 +120,59 @@ def _burn(_):
     return x
 
 
+def _stream(_):
+    """In-place array sweep: pure memory-bandwidth load (bytes moved)."""
+    import time
+
+    import numpy as np
+
+    a = np.zeros(64_000_000 // 8)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 3:
+        a += 1.0
+        n += 1
+    return n * 64_000_000 * 2
+
+
+def _alloc(_):
+    """Allocation-heavy sweep (fresh 64MB per op): exercises kernel page
+    zeroing / mmap — the resource profile of JVM+GC allocation."""
+    import time
+
+    import numpy as np
+
+    a = np.zeros(64_000_000 // 8)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 3:
+        a = a + 1.0
+        n += 1
+    return n * 64_000_000 * 2
+
+
 def hardware_calibration(n_lo: int = N_CPUS, n_hi: int = N4_CPUS) -> dict:
     """Pure-CPU busy-loop scaling of THIS machine (no Spark): the upper
     bound any program can reach between the two parallelism levels."""
     import multiprocessing as mp
 
-    rates = {}
-    for n in (n_lo, n_hi):
-        with mp.Pool(n) as p:
-            rates[n] = sum(p.map(_burn, range(n))) / 3.0
-    eff = rates[n_hi] / rates[n_lo] / (n_hi / n_lo)
-    return {
-        "mops_per_sec": {str(n): round(r / 1e6, 1) for n, r in rates.items()},
-        "hardware_scaling_efficiency": round(eff, 3),
-    }
+    out = {}
+    for label, fn, scale, unit in [
+        ("cpu", _burn, 1e6, "mops_per_sec"),
+        ("membw_stream", _stream, 1e9, "gb_per_sec"),
+        ("membw_alloc", _alloc, 1e9, "gb_per_sec"),
+    ]:
+        rates = {}
+        for n in (n_lo, n_hi):
+            with mp.Pool(n) as p:
+                rates[n] = sum(p.map(fn, range(n))) / 3.0
+        out[label] = {
+            unit: {str(n): round(r / scale, 1) for n, r in rates.items()},
+            "scaling_efficiency": round(
+                rates[n_hi] / rates[n_lo] / (n_hi / n_lo), 3
+            ),
+        }
+    return out
 
 
 def main() -> None:
