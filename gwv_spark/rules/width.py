@@ -167,13 +167,25 @@ def width(ctx: RuleContext) -> DataFrame:
     # there; we drop the line
     sp = sp.where((F.col("elem_pre.typ") == "S") | F.col("media_ref").isNotNull())
 
-    # '-halfwidth' sibling existence probe (width.py:136)
+    # '-halfwidth' sibling existence probe (width.py:136) — only PART
+    # spans consult it, so only they enter the join; stroke spans (the
+    # bulk) bypass the shuffle entirely
     probe = ctx.docs.select(F.col("doc_id").alias("__hw")).withColumn(
         "has_hw", F.lit(True)
     )
-    sp = sp.join(
-        probe, F.concat(F.col("media_ref"), F.lit("-halfwidth")) == F.col("__hw"), "left"
-    ).drop("__hw")
+    strokes_sp = sp.where(F.col("elem_pre.typ") == "S").withColumn(
+        "has_hw", F.lit(None).cast("boolean")
+    )
+    parts_sp = (
+        sp.where(F.col("elem_pre.typ") == "P")
+        .join(
+            probe,
+            F.concat(F.col("media_ref"), F.lit("-halfwidth")) == F.col("__hw"),
+            "left",
+        )
+        .drop("__hw")
+    )
+    sp = strokes_sp.unionByName(parts_sp)
 
     # finalize per-span (a, b) where computable without running state
     is_part = F.col("elem_pre.typ") == "P"
