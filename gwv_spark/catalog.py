@@ -1,0 +1,69 @@
+"""Iceberg-or-parquet table abstraction (SURVEY.md §7 step 1).
+
+The engine targets Iceberg tables (north rule); this sandbox has no
+Iceberg runtime jar, so the interface detects Iceberg support at
+runtime and otherwise provides a parquet surrogate with the same
+contract:
+
+- ``load(spark, ref)`` — ``ref`` is an Iceberg table name (contains no
+  '/') or a parquet path;
+- ``save(df, ref)`` — writeTo(...).createOrReplace() on Iceberg, else
+  parquet overwrite;
+- ``snapshot_id(spark, ref)`` — Iceberg: the current snapshot id (the
+  resume/lineage key, monotone per commit); parquet surrogate: a
+  deterministic content fingerprint over (path, size, mtime) of the
+  data files — any rewrite changes it, so a resume ledger keyed by it
+  can never mix state across corpus versions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def is_table_ref(ref: str) -> bool:
+    """Iceberg table name vs filesystem path (job.py dispatch rule)."""
+    return not ref.endswith(".parquet") and "/" not in ref
+
+
+def has_iceberg(spark: SparkSession) -> bool:
+    try:
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+        return "IcebergSparkSessionExtensions" in ext
+    except Exception:
+        return False
+
+
+def load(spark: SparkSession, ref: str) -> DataFrame:
+    if is_table_ref(ref):
+        return spark.table(ref)
+    return spark.read.parquet(ref)
+
+
+def save(df: DataFrame, ref: str) -> None:
+    if is_table_ref(ref):
+        df.writeTo(ref).createOrReplace()
+    else:
+        df.write.mode("overwrite").parquet(ref)
+
+
+def snapshot_id(spark: SparkSession, ref: str) -> str:
+    """The lineage key a run is pinned to (engine.Ledger, job.py)."""
+    if is_table_ref(ref) and has_iceberg(spark):
+        row = spark.sql(
+            f"SELECT snapshot_id FROM {ref}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).first()
+        return str(row["snapshot_id"]) if row else "empty"
+    if is_table_ref(ref):
+        return "table:" + ref  # no snapshot metadata available
+    h = hashlib.sha256()
+    base = Path(ref)
+    files = sorted(base.rglob("*.parquet")) if base.is_dir() else [base]
+    for f in files:
+        st = f.stat()
+        h.update(f"{f}\x1f{st.st_size}\x1f{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()[:16]

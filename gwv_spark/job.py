@@ -40,7 +40,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     p.add_argument("--rules", nargs="*", default=None, help="rule subset (default all)")
     p.add_argument("--attrs", default=None, help="doc_attrs parquet path")
     p.add_argument("--n-buckets", type=int, default=256)
-    p.add_argument("--run-id", default="run")
+    p.add_argument("--run-id", default=None, help="default: the input snapshot id")
     p.add_argument("--resume", action="store_true", help="skip completed (rule,bucket)s")
     p.add_argument("--no-cache", action="store_true")
     p.add_argument(
@@ -57,11 +57,14 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     if owns_session:
         spark = SparkSession.builder.appName("gwv_spark-validate").getOrCreate()
 
-    if args.input.endswith(".parquet") or "/" in args.input:
-        documents = spark.read.parquet(args.input)
-    else:
-        documents = spark.table(args.input)
+    from gwv_spark import catalog
+
+    documents = catalog.load(spark, args.input)
     attrs = spark.read.parquet(args.attrs) if args.attrs else None
+    # the run is pinned to the input's snapshot: the resume ledger lives
+    # under it, so state can never mix across corpus versions (Iceberg
+    # snapshot id, or a content fingerprint on plain parquet)
+    snapshot = catalog.snapshot_id(spark, args.input)
 
     ctx = engine.make_context(
         spark,
@@ -73,7 +76,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     rule_ids = args.rules or ALL_RULE_IDS
 
     out = args.output.rstrip("/")
-    ledger = engine.Ledger(spark, f"{out}/ledger")
+    ledger = engine.Ledger(spark, f"{out}/ledger/snapshot={snapshot}")
 
     if args.resume:
         # partition_id == -1 is the rule-complete sentinel; bucket-grain
@@ -96,7 +99,8 @@ def main(argv: list[str] | None = None, spark=None) -> None:
 
     violations = spark.read.parquet(f"{out}/violations")
     verdicts = engine.partition_verdicts(
-        ctx.docs, violations, n_buckets=args.n_buckets, run_id=args.run_id
+        ctx.docs, violations, n_buckets=args.n_buckets,
+        run_id=args.run_id or snapshot,
     )
     verdicts.write.mode("overwrite").parquet(f"{out}/verdicts")
     if rule_ids:

@@ -38,6 +38,31 @@ def test_job_end_to_end_and_resume(spark, tmp_path):
     assert ledger2.where("partition_id = -1").count() == 3
 
 
+def test_snapshot_fingerprint_pins_resume(spark, tmp_path):
+    """catalog.snapshot_id changes when the corpus changes, so a resume
+    ledger keyed by it cannot reuse state from an older corpus."""
+    import time
+
+    from gwv_spark import catalog
+
+    d1 = ensure_corpus(tmp_path / "c1", 100)
+    ref = str(d1 / "documents.parquet")
+    s1 = catalog.snapshot_id(spark, ref)
+    assert catalog.snapshot_id(spark, ref) == s1  # deterministic
+    time.sleep(0.01)
+    docs = spark.read.parquet(ref)
+    docs.write.mode("overwrite").parquet(str(tmp_path / "c2"))
+    # same rows, different files -> different snapshot
+    assert catalog.snapshot_id(spark, str(tmp_path / "c2")) != s1
+    # job writes its ledger under the snapshot
+    out = tmp_path / "out"
+    job.main(["--input", ref, "--output", str(out), "--rules", "numexp"],
+             spark=spark)
+    led = spark.read.parquet(str(out / "ledger"))
+    assert "snapshot" in led.columns
+    assert {r["snapshot"] for r in led.select("snapshot").collect()} == {s1}
+
+
 def test_ignore_error_quarantine_wiring(spark, tmp_path):
     """--ignore-error must not change results on healthy data (the
     quarantine branch only fires on per-record crashes)."""
