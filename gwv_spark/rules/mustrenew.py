@@ -42,9 +42,25 @@ def mustrenew(ctx: RuleContext) -> DataFrame:
     j = quotes.join(old_bases, "part_base", "left").withColumn(
         "is_old", F.coalesce(F.col("base_is_old"), F.lit(False))
     )
-    grouped = j.groupBy("part_full").agg(
+    # EXPLICIT SALTING (north rule): part_full is the one genuinely
+    # skewed aggregation key in the suite — a popular part is quoted by
+    # an unbounded number of documents, so a single-phase
+    # groupBy(part_full).collect_set would funnel every quoter of a hot
+    # part through one reduce task.  Two phases: partial sets per
+    # (part_full, salt) bound each task's key fan-in to ~1/N_SALT, then
+    # the merge phase combines N_SALT small sets per part.  AQE's skew
+    # handling covers joins but not aggregations, hence manual.
+    n_salt = 16
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salt))
+    partial = j.groupBy("part_full", salt.alias("__salt")).agg(
         F.max(F.col("is_old")).alias("is_old"),
-        F.sort_array(F.collect_set(F.col("doc_id"))).alias("quoters"),
+        F.collect_set(F.col("doc_id")).alias("qs"),
+    )
+    grouped = partial.groupBy("part_full").agg(
+        F.max(F.col("is_old")).alias("is_old"),
+        F.sort_array(
+            F.array_distinct(F.flatten(F.collect_list(F.col("qs"))))
+        ).alias("quoters"),
     )
     # reference rows are keyed by the part name, quoters as params
     out = grouped.select(
