@@ -645,6 +645,40 @@ def _lsh_oracle(sf: str) -> str:
     """
 
 
+def _near_dup_oracle(sf: str) -> str:
+    from gwv_spark.vectorops import _hyperplane
+
+    planes = [
+        "[" + ", ".join(repr(x) for x in _hyperplane(64, i)) + "]" for i in range(6)
+    ]
+    bucket = " + ".join(
+        f"((list_dot_product(v, {p}) > 0)::BIGINT << {i})"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    bucketed AS (SELECT vec_id, v, {bucket} AS b FROM emb)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.b = b.b AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+    """
+
+
+@q("vec_near_dup_pairs", _near_dup_oracle)
+def vec_near_dup(spark, sf_dir):
+    return vectorops.cosine_near_dup_pairs(
+        T(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
 @q("vec_lsh_cosine_topk", _lsh_oracle)
 def vec_lsh_topk(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")

@@ -128,3 +128,41 @@ def lsh_cosine_topk(
         .where(F.col("rank") <= k)
         .select("probe_id", "vec_id", "cosine", "rank")
     )
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates restricted to
+    equal sign-LSH buckets (near-identical vectors agree on every
+    hyperplane sign with high probability), then exact cosine ≥
+    threshold inside the bucket.  At 10^12 vectors the bucket id is the
+    table's partition key, so the self join never crosses partition
+    groups; bucket sizes are bounded because near-duplicate clusters
+    are what the buckets isolate."""
+    v = sign_lsh_buckets(vectors, dim, n_planes, vec_col)
+    a = v.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), "lsh_bucket"
+    )
+    b = v.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"), "lsh_bucket"
+    )
+    pairs = (
+        a.join(b, "lsh_bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return pairs.where(F.col("cosine") >= threshold)
