@@ -94,11 +94,11 @@ def main() -> None:
     timings["validate_full_suite_sustained"] = round(sustained_sec, 3)
 
     # throughput anchor at a size where executor compute dominates the
-    # per-job constant (~50k docs at sf0.1 is overhead-bound): 2M
+    # per-job constant (~50k docs at sf0.1 is overhead-bound): 1M
     # spark-generated docs, sustained = the warmed re-execution
     from gwv_spark.corpus import spark_generate
 
-    big_n = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+    big_n = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
     big = spark_generate(spark, big_n, partitions=CPUS * 4).select("doc_id", "spans")
     t0 = time.time()
     big_ctx = engine.make_context(spark, big, cache=True)
@@ -107,8 +107,8 @@ def main() -> None:
     t0 = time.time()
     engine.run_suite(big_ctx)
     big_sustained = time.time() - t0
-    timings["validate_2m_cold"] = round(big_cold, 3)
-    timings["validate_2m_sustained"] = round(big_sustained, 3)
+    timings["validate_anchor_cold"] = round(big_cold, 3)
+    timings["validate_anchor_sustained"] = round(big_sustained, 3)
 
     total = round(sum(timings.values()), 3)
     print(
