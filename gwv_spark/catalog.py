@@ -59,7 +59,23 @@ def snapshot_id(spark: SparkSession, ref: str) -> str:
         ).first()
         return str(row["snapshot_id"]) if row else "empty"
     if is_table_ref(ref):
-        return "table:" + ref  # no snapshot metadata available
+        # No snapshot metadata: derive a content fingerprint from the
+        # table's data files so two versions of the same table can never
+        # share a resume-ledger key (a constant 'table:<ref>' key would
+        # let --resume mix state across corpus versions).
+        try:
+            files = sorted(spark.table(ref).inputFiles())
+            n = spark.table(ref).count()
+            h = hashlib.sha256()
+            for f in files:
+                h.update(f.encode() + b"\n")
+            h.update(str(n).encode())
+            return "tablefp:" + h.hexdigest()[:16]
+        except Exception:
+            raise ValueError(
+                f"cannot derive a snapshot/fingerprint for table {ref!r}; "
+                "refusing a resume key that could mix corpus versions"
+            )
     h = hashlib.sha256()
     base = Path(ref)
     files = sorted(base.rglob("*.parquet")) if base.is_dir() else [base]

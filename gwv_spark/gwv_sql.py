@@ -1270,3 +1270,133 @@ def skew_sql(parquet_expr: str) -> str:
     SELECT doc_id, "offset", text AS line_text, errcode
     FROM coded WHERE errcode IS NOT NULL
     """
+
+
+def is_hikanji_expr() -> str:
+    """helper.py:136-142 over docs_cte columns."""
+    return (
+        "(category = 'ucs-hikanji' "
+        "OR (category = 'koseki' AND substr(doc_id, 8, 1) = '9'))"
+    )
+
+
+def dup_straight_sql(parquet_expr: str) -> str:
+    """Straight-segment duplicate scan — dup codes 10 (yoko) / 11 (tate).
+
+    Full relational mirror of dup.py:61-118 + the 150-166 dispatch for
+    stroke types 1/3/4/7: per-line segment decomposition, axis bucketing
+    with signed distance-to-origin and angle, stable (dist, insertion)
+    sort, banded forward scan, FIRST overlapping near-parallel pair per
+    document (yoko first, tate only when no yoko pair exists).  Codes
+    2/3/99/9 (curves/parts) stay covered by the pandas-UDF rule and the
+    fuzz differential; this oracle drives the geometry-heavy straight
+    path end to end in SQL.
+    """
+    kc = kint("c")
+    return f"""
+    WITH {docs_cte(parquet_expr)},
+    gated AS (
+      SELECT doc_id, spans, {is_hikanji_expr()} AS hikanji
+      FROM docs
+      WHERE entity_ref IS NULL AND category <> 'user-owned' AND NOT has_transform
+    ),
+    L AS (
+      SELECT doc_id, hikanji, "offset" AS off, text,
+             list_transform(string_split(text, ':'), c -> {kc}) AS d
+      FROM (SELECT doc_id, hikanji, unnest(spans, recursive := true) FROM gated)
+    ),
+    L2 AS (
+      SELECT *, d[1] AS st, (len(d) - 3) // 2 AS np FROM L
+    ),
+    segsrc AS (
+      SELECT doc_id, hikanji, off, text, st,
+             d[4] AS x0, d[5] AS y0, d[6] AS x1, d[7] AS y1, d[8] AS x2, d[9] AS y2
+      FROM L2
+      WHERE st IN (1, 3, 4, 7)
+        AND np >= CASE WHEN st IN (1, 7) THEN 2 ELSE 3 END
+        AND len(list_filter(range(1, np + 1),
+              i -> d[2 + 2 * i] IS NULL OR d[3 + 2 * i] IS NULL)) = 0
+    ),
+    rawseg AS (
+      SELECT doc_id, hikanji, off, text, off * 2 AS seq,
+             x0 AS ax, y0 AS ay, x1 AS bx, y1 AS by FROM segsrc
+      UNION ALL
+      SELECT doc_id, hikanji, off, text, off * 2 + 1, x1, y1, x2, y2
+      FROM segsrc WHERE st IN (3, 4)
+    ),
+    cls AS (
+      SELECT *,
+        CASE WHEN ay = by THEN 0
+             WHEN ax = bx THEN 1
+             WHEN atan2((by - ay)::DOUBLE, (bx - ax)::DOUBLE) > -pi()/4
+                  AND atan2((by - ay)::DOUBLE, (bx - ax)::DOUBLE) < pi()/4 THEN 2
+             WHEN atan2((by - ay)::DOUBLE, (bx - ax)::DOUBLE) > 0 THEN 3
+             ELSE 4 END AS c,
+        atan2((by - ay)::DOUBLE, (bx - ax)::DOUBLE) AS ang0
+      FROM rawseg WHERE NOT (ax = bx AND ay = by)
+    ),
+    seg AS (
+      SELECT doc_id, hikanji, off, text, seq,
+        CASE WHEN c IN (0, 2) THEN 'yoko' ELSE 'tate' END AS kind,
+        CASE WHEN c = 0 THEN (-ay)::DOUBLE
+             WHEN c = 1 THEN ax::DOUBLE
+             ELSE (ax * by - bx * ay)
+                  / sqrt(((ax - bx) * (ax - bx) + (ay - by) * (ay - by))::DOUBLE)
+        END AS dist,
+        CASE WHEN c = 0 THEN 0.0
+             WHEN c = 1 THEN pi()/2
+             WHEN c = 4 THEN ang0 + pi()
+             ELSE ang0 END AS angle,
+        CASE WHEN c = 0 THEN LEAST(ax, bx)
+             WHEN c = 1 THEN LEAST(ay, by)
+             WHEN c = 2 THEN ax
+             WHEN c = 3 THEN ay
+             ELSE by END AS t0,
+        CASE WHEN c = 0 THEN GREATEST(ax, bx)
+             WHEN c = 1 THEN GREATEST(ay, by)
+             WHEN c = 2 THEN bx
+             WHEN c = 3 THEN by
+             ELSE ay END AS t1
+      FROM cls
+    ),
+    yr AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, seq) AS rn
+      FROM seg WHERE kind = 'yoko'
+    ),
+    tr AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, seq) AS rn
+      FROM seg WHERE kind = 'tate'
+    ),
+    yp AS (
+      SELECT a.doc_id, a.off AS off1, a.text AS text1,
+             b.off AS off2, b.text AS text2,
+             LEAST(a.t1 - b.t0, b.t1 - a.t0, a.t1 - a.t0, b.t1 - b.t0) AS amount,
+             ROW_NUMBER() OVER (PARTITION BY a.doc_id ORDER BY a.rn, b.rn) AS pick
+      FROM yr a JOIN yr b ON a.doc_id = b.doc_id AND a.rn < b.rn
+      WHERE b.dist - a.dist <= (CASE WHEN a.hikanji THEN 0.0 ELSE 4.0 END)
+        AND abs(a.angle - b.angle) <= 1.0/60.0
+        AND b.t0 <= a.t1 AND a.t0 <= b.t1
+    ),
+    tp AS (
+      SELECT a.doc_id, a.off AS off1, a.text AS text1,
+             b.off AS off2, b.text AS text2,
+             LEAST(a.t1 - b.t0, b.t1 - a.t0, a.t1 - a.t0, b.t1 - b.t0) AS amount,
+             ROW_NUMBER() OVER (PARTITION BY a.doc_id ORDER BY a.rn, b.rn) AS pick
+      FROM tr a JOIN tr b ON a.doc_id = b.doc_id AND a.rn < b.rn
+      WHERE b.dist - a.dist <= (CASE WHEN a.hikanji THEN 0.0 ELSE 9.0 END)
+        AND abs(a.angle - b.angle) <= 1.0/60.0
+        AND b.t0 < a.t1 AND a.t0 < b.t1
+    ),
+    fy AS (SELECT doc_id, off1, text1, off2, text2, amount FROM yp WHERE pick = 1),
+    ft AS (SELECT doc_id, off1, text1, off2, text2, amount FROM tp
+           WHERE pick = 1 AND doc_id NOT IN (SELECT doc_id FROM fy))
+    SELECT doc_id, '10' AS errcode,
+           off1::VARCHAR || ':' || text1 || '|' || off2::VARCHAR || ':' || text2
+           || '|' || amount::VARCHAR AS params
+    FROM fy
+    UNION ALL
+    SELECT doc_id, '11' AS errcode,
+           off1::VARCHAR || ':' || text1 || '|' || off2::VARCHAR || ':' || text2
+           || '|' || amount::VARCHAR AS params
+    FROM ft
+    """

@@ -25,7 +25,30 @@ import argparse
 import sys
 from pathlib import Path
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _clear_rule_partitions(spark, base: str, rule_ids) -> None:
+    """Drop ``<base>/rule_id=<rid>`` for every rule about to be recomputed.
+
+    Dynamic partition overwrite only replaces partitions that receive
+    rows, so a rule whose recomputation yields ZERO violations (the goal
+    state) would otherwise leave its stale partition from a previous run
+    in place — and the read-back would report violations that no longer
+    exist.  Explicitly deleting the recomputed rules' partitions up front
+    makes the fused write's semantics per-rule truncate-and-load while
+    resumed rules' partitions stay untouched.  Hadoop FS API, so it works
+    on any storage backend spark can write to."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(base).getFileSystem(conf)
+    for rid in rule_ids:
+        p = path_cls(f"{base}/rule_id={rid}")
+        if fs.exists(p):
+            fs.delete(p, True)
 
 
 def main(argv: list[str] | None = None, spark=None) -> None:
@@ -92,14 +115,26 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         # partitioned by rule_id.  Single job submission; the DAG
         # scheduler overlaps the independent branch stages, and dynamic
         # partition overwrite means a resumed run only replaces the
-        # rule_id partitions it actually recomputed.
+        # rule_id partitions it actually recomputed.  Recomputed rules'
+        # partitions are truncated first so a now-clean rule doesn't
+        # resurrect stale violations (see _clear_rule_partitions).
+        _clear_rule_partitions(spark, f"{out}/violations", rule_ids)
         engine.run_rules(ctx, rule_ids).write.mode("overwrite").partitionBy(
             "rule_id"
         ).parquet(f"{out}/violations")
 
-    violations = spark.read.parquet(f"{out}/violations")
+    try:
+        violations = spark.read.parquet(f"{out}/violations")
+    except Exception:
+        # a fully clean corpus writes no partition at all — schema
+        # inference has nothing to read; the run is simply violation-free
+        violations = engine.empty_violations(spark)
+    # --ignore-error quarantine rows are audit data, not violations: the
+    # reference's --ignore-error (validator.py:46-55) records nothing for
+    # a crashed glyph, so counting them would flip bucket verdicts
     verdicts = engine.partition_verdicts(
-        ctx.docs, violations, n_buckets=args.n_buckets,
+        ctx.docs, violations.where(F.col("errcode") != "__error__"),
+        n_buckets=args.n_buckets,
         run_id=args.run_id or snapshot,
     )
     verdicts.write.mode("overwrite").parquet(f"{out}/verdicts")

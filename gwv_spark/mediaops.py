@@ -121,10 +121,83 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42, partitions: int | N
     return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def _expected_tables(n: int, seed: int = 42, every_n: int = 2, out_wh: tuple[int, int] = (8, 8)):
+    """Generator-FORWARD expected outputs for features / frame sampling /
+    resize — the differential oracle for the fake codec.
+
+    Deliberately does NOT call :func:`_payload` or :func:`decode_bytes`:
+    it re-derives the byte stream from the generator parameters and
+    applies the padding/reshape semantics independently, so a bug in the
+    header packer or the decoder's parsing shows up as a mismatch instead
+    of being self-confirmed (round-trip oracle, cf. the reference's
+    dump-reload tests)."""
+    import hashlib as _hl
+
+    feats, frames_rows, resized = [], [], []
+    for idx in range(n):
+        h = int.from_bytes(_hl.md5(f"media:{seed}:{idx}".encode()).digest()[:4], "big")
+        kind = ("image", "audio", "video")[h % 3]
+        width = 16 + (h >> 4) % 48
+        height = 16 + (h >> 10) % 48 if kind != "audio" else 1
+        frames = 1 if kind == "image" else 2 + (h >> 16) % 6
+        duration = 0 if kind == "image" else frames * 40
+        mid = f"m-{idx:08d}"
+        n_body = width * frames if kind == "audio" else width * height * frames
+        n_body = min(n_body, 4096)
+        body = np.random.default_rng(h).integers(0, 256, n_body, dtype=np.uint8)
+        if kind == "audio":
+            arr = body.reshape(1, 1, -1)
+        else:
+            full = np.zeros(width * height * frames, dtype=np.uint8)
+            full[:n_body] = body
+            arr = full.reshape(frames, height, width)
+        hist = np.bincount(arr.reshape(-1) >> 4, minlength=16)[:16]
+        feats.append(
+            {
+                "media_id": mid,
+                "kind": kind,
+                "n_bytes": 16 + n_body,
+                "width": int(arr.shape[2]),
+                "height": int(arr.shape[1]),
+                "n_frames": int(arr.shape[0]),
+                "mean_value": float(round(arr.mean(), 6)),
+                "byte_hist": ",".join(str(int(x)) for x in hist),
+            }
+        )
+        if kind == "video":
+            frame_ms = duration // arr.shape[0]
+            for i in range(0, arr.shape[0], every_n):
+                frames_rows.append(
+                    {
+                        "media_id": mid,
+                        "frame_idx": i,
+                        "ts_ms": i * frame_ms,
+                        "frame_md5": _hl.md5(arr[i].tobytes()).hexdigest(),
+                    }
+                )
+        if kind == "image":
+            out_h, out_w = out_wh[1], out_wh[0]
+            ys = (np.arange(out_h) * arr.shape[1] // out_h).astype(int)
+            xs = (np.arange(out_w) * arr.shape[2] // out_w).astype(int)
+            small = arr[0][np.ix_(ys, xs)]
+            resized.append(
+                {
+                    "media_id": mid,
+                    "width": out_w,
+                    "height": out_h,
+                    "data_md5": _hl.md5(small.tobytes()).hexdigest(),
+                }
+            )
+    return feats, frames_rows, resized
+
+
 def ensure_media(out_dir, n: int, seed: int = 42, overwrite: bool = False):
     """Write media.parquet + media_catalog.parquet with pyarrow (driver
     side, test SF only — Spark and the DuckDB oracle read identical
-    bytes).  The catalog deliberately omits ids with idx % 19 == 3 so
+    bytes), plus the generator-forward expected tables
+    (media_features_expected / media_frames_expected /
+    media_resized_expected) that serve as decode-path oracles.  The
+    catalog deliberately omits ids with idx % 19 == 3 so
     referential-integrity checks have dangling refs to find."""
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -133,6 +206,52 @@ def ensure_media(out_dir, n: int, seed: int = 42, overwrite: bool = False):
     out = Path(out_dir)
     media_path = out / "media.parquet"
     cat_path = out / "media_catalog.parquet"
+    expected_paths = {
+        "media_features_expected": out / "media_features_expected.parquet",
+        "media_frames_expected": out / "media_frames_expected.parquet",
+        "media_resized_expected": out / "media_resized_expected.parquet",
+    }
+    if overwrite or not all(p.exists() for p in expected_paths.values()):
+        # expected tables can be (re)written without touching media.parquet
+        feats, frames_rows, resized = _expected_tables(n, seed)
+        out.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "media_id": pa.array([r["media_id"] for r in feats], pa.string()),
+                    "kind": pa.array([r["kind"] for r in feats], pa.string()),
+                    "n_bytes": pa.array([r["n_bytes"] for r in feats], pa.int64()),
+                    "width": pa.array([r["width"] for r in feats], pa.int32()),
+                    "height": pa.array([r["height"] for r in feats], pa.int32()),
+                    "n_frames": pa.array([r["n_frames"] for r in feats], pa.int32()),
+                    "mean_value": pa.array([r["mean_value"] for r in feats], pa.float64()),
+                    "byte_hist": pa.array([r["byte_hist"] for r in feats], pa.string()),
+                }
+            ),
+            expected_paths["media_features_expected"],
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "media_id": pa.array([r["media_id"] for r in frames_rows], pa.string()),
+                    "frame_idx": pa.array([r["frame_idx"] for r in frames_rows], pa.int32()),
+                    "ts_ms": pa.array([r["ts_ms"] for r in frames_rows], pa.int32()),
+                    "frame_md5": pa.array([r["frame_md5"] for r in frames_rows], pa.string()),
+                }
+            ),
+            expected_paths["media_frames_expected"],
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "media_id": pa.array([r["media_id"] for r in resized], pa.string()),
+                    "width": pa.array([r["width"] for r in resized], pa.int32()),
+                    "height": pa.array([r["height"] for r in resized], pa.int32()),
+                    "data_md5": pa.array([r["data_md5"] for r in resized], pa.string()),
+                }
+            ),
+            expected_paths["media_resized_expected"],
+        )
     if media_path.exists() and cat_path.exists() and not overwrite:
         return out
     out.mkdir(parents=True, exist_ok=True)
@@ -218,7 +337,9 @@ FEATURES_SCHEMA = StructType(
         StructField("height", IntegerType()),
         StructField("n_frames", IntegerType()),
         StructField("mean_value", DoubleType()),
-        StructField("byte_hist", ArrayType(LongType())),  # 16 bins over byte values
+        # 16 bins over byte values, comma-joined — a STRING, not ARRAY<LONG>,
+        # so result cells stay hashable for pandas-based comparison harnesses
+        StructField("byte_hist", StringType()),
     ]
 )
 
@@ -242,7 +363,7 @@ def media_features(media: DataFrame) -> DataFrame:
                         "height": int(arr.shape[1]),
                         "n_frames": int(arr.shape[0]),
                         "mean_value": float(round(arr.mean(), 6)),
-                        "byte_hist": hist.astype("int64").tolist(),
+                        "byte_hist": ",".join(str(int(x)) for x in hist),
                     }
                 )
             yield pd.DataFrame(out, columns=[f.name for f in FEATURES_SCHEMA.fields])

@@ -237,7 +237,7 @@ _DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
     "stats_documents_columns",
     lambda sf: "\nUNION ALL\n".join(
         f"""SELECT '{c}' AS column, COUNT(*) AS n_rows,
-               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
                COUNT(DISTINCT {c}) AS n_distinct,
                MIN({c})::VARCHAR AS min_value, MAX({c})::VARCHAR AS max_value
         FROM documents"""
@@ -645,37 +645,127 @@ def _lsh_oracle(sf: str) -> str:
     """
 
 
-def _near_dup_oracle(sf: str) -> str:
+# Near-dup over embeddings: the synthetic vectors are near-orthogonal
+# (max pairwise cosine ~0.5), so true near-duplicates are PLANTED — a
+# deterministic per-component perturbation of vec_id < 50, re-derivable
+# identically in DuckDB (pure arithmetic, no libm).  Detection uses
+# OR-amplified multi-table sign-LSH (vectorops.lsh_amplification): round
+# 1's single 6-plane bucket had ~52% recall at t=0.95 and the mirrored
+# oracle could not see it; the recall query below quantifies recall
+# against the planted ground truth independently of the LSH construction.
+
+_ND_THRESHOLD, _ND_PLANES = 0.95, 6
+
+
+def _nd_tables() -> int:
+    from gwv_spark.vectorops import lsh_amplification
+
+    return lsh_amplification(_ND_THRESHOLD, _ND_PLANES, 0.95)
+
+
+def _augmented_embeddings(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double") + F.lit(0.012) * (i % 7 - 3).cast("double"),
+    )
+    base = emb.select("vec_id", as_double.alias("embedding"))
+    planted = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), pert.alias("embedding")
+    )
+    return base.unionByName(planted)
+
+
+def _aug_emb_sql() -> str:
+    return """
+    emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    emb AS (
+      SELECT vec_id, v FROM emb0
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(v, (x, i) -> x + 0.012 * (((i - 1) % 7) - 3))
+      FROM emb0 WHERE vec_id < 50
+    )"""
+
+
+def _nd_pairs_sql() -> str:
+    """Shared WITH-body computing the amplified-LSH near-dup pairs."""
     from gwv_spark.vectorops import _hyperplane
 
-    planes = [
-        "[" + ", ".join(repr(x) for x in _hyperplane(64, i)) + "]" for i in range(6)
-    ]
-    bucket = " + ".join(
-        f"((list_dot_product(v, {p}) > 0)::BIGINT << {i})"
-        for i, p in enumerate(planes)
+    n_tables = _nd_tables()
+    bucket_cols, or_conds = [], []
+    for t in range(n_tables):
+        planes = [
+            "[" + ", ".join(repr(x) for x in _hyperplane(64, t * _ND_PLANES + i)) + "]"
+            for i in range(_ND_PLANES)
+        ]
+        expr = " + ".join(
+            f"((list_dot_product(v, {p}) > 0)::BIGINT << {i})"
+            for i, p in enumerate(planes)
+        )
+        bucket_cols.append(f"{expr} AS b{t}")
+        or_conds.append(f"a.b{t} = b.b{t}")
+    cos = (
+        "ROUND(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v))), 6)"
     )
     return f"""
-    WITH emb AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
-    bucketed AS (SELECT vec_id, v, {bucket} AS b FROM emb)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v))
-                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-    FROM bucketed a JOIN bucketed b
-      ON a.b = b.b AND a.vec_id < b.vec_id
-    WHERE ROUND(list_dot_product(a.v, b.v)
-                / (sqrt(list_dot_product(a.v, a.v))
-                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
-    """
+    {_aug_emb_sql()},
+    bucketed AS (SELECT vec_id, v, {', '.join(bucket_cols)} FROM emb),
+    nd_pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+      FROM bucketed a JOIN bucketed b
+        ON a.vec_id < b.vec_id AND ({' OR '.join(or_conds)})
+      WHERE {cos} >= {_ND_THRESHOLD}
+    )"""
 
 
-@q("vec_near_dup_pairs", _near_dup_oracle)
+@q("vec_near_dup_pairs", lambda sf: f"WITH {_nd_pairs_sql()} SELECT * FROM nd_pairs")
 def vec_near_dup(spark, sf_dir):
     return vectorops.cosine_near_dup_pairs(
-        T(spark, sf_dir, "embeddings"), threshold=0.3
+        _augmented_embeddings(spark, sf_dir),
+        threshold=_ND_THRESHOLD,
+        n_planes=_ND_PLANES,
+        n_tables=_nd_tables(),
+    )
+
+
+@q(
+    "vec_near_dup_recall",
+    lambda sf: f"""
+    WITH {_nd_pairs_sql()}
+    SELECT (SELECT COUNT(*) FROM emb WHERE vec_id >= 1000000) AS n_planted,
+           (SELECT COUNT(*) FROM nd_pairs
+             WHERE vec_a < 50 AND vec_b = vec_a + 1000000) AS n_detected,
+           ROUND((SELECT COUNT(*) FROM nd_pairs
+                   WHERE vec_a < 50 AND vec_b = vec_a + 1000000)
+                 / (SELECT COUNT(*) FROM emb WHERE vec_id >= 1000000)::DOUBLE,
+                 6) AS recall
+    """,
+)
+def vec_near_dup_recall(spark, sf_dir):
+    """Measured recall of the amplified LSH against the PLANTED ground
+    truth (original, original+1000000) — independent of the LSH
+    construction, so a recall regression cannot hide behind a mirrored
+    oracle."""
+    aug = _augmented_embeddings(spark, sf_dir)
+    det = vectorops.cosine_near_dup_pairs(
+        aug, threshold=_ND_THRESHOLD, n_planes=_ND_PLANES, n_tables=_nd_tables()
+    )
+    n_planted = aug.where(F.col("vec_id") >= 1000000).agg(
+        F.count(F.lit(1)).alias("n_planted")
+    )
+    n_detected = det.where(
+        (F.col("vec_a") < 50) & (F.col("vec_b") == F.col("vec_a") + 1000000)
+    ).agg(F.count(F.lit(1)).alias("n_detected"))
+    return (
+        n_planted.crossJoin(n_detected)
+        .select(
+            "n_planted",
+            "n_detected",
+            F.round(F.col("n_detected") / F.col("n_planted"), 6).alias("recall"),
+        )
     )
 
 
@@ -726,14 +816,46 @@ def media_profile(spark, sf_dir):
     )
 
 
-@q("media_features")  # rows-only: decode-dependent (mapInPandas fake codec)
+# Oracles for the decode path are generator-FORWARD expected tables
+# written by ensure_media (mediaops._expected_tables): they re-derive the
+# payload byte stream from the generator parameters without touching
+# _payload/decode_bytes, so Spark's decode-backward mapInPandas is
+# checked against an independent computation (round-trip differential).
+
+
+@q(
+    "media_features",
+    lambda sf: f"SELECT media_id, kind, n_bytes, width, height, n_frames,"
+    f" mean_value, byte_hist FROM {_media_sql(sf, 'media_features_expected')}",
+)
 def media_features_q(spark, sf_dir):
     return mediaops.media_features(synth_media_df(spark, sf_dir))
 
 
-@q("media_frame_sample")  # rows-only: row-expanding mapInPandas
+@q(
+    "media_frame_sample",
+    lambda sf: f"SELECT media_id, frame_idx, ts_ms, frame_md5"
+    f" FROM {_media_sql(sf, 'media_frames_expected')}",
+)
 def media_frames_q(spark, sf_dir):
-    return mediaops.sample_frames(synth_media_df(spark, sf_dir), every_n=2)
+    fr = mediaops.sample_frames(synth_media_df(spark, sf_dir), every_n=2)
+    # md5 instead of raw frame bytes: binary cells are not portable across
+    # comparison harnesses (bytearray vs bytes repr), the digest is
+    return fr.select(
+        "media_id", "frame_idx", "ts_ms", F.md5(F.col("frame_data")).alias("frame_md5")
+    )
+
+
+@q(
+    "media_resize",
+    lambda sf: f"SELECT media_id, width, height, data_md5"
+    f" FROM {_media_sql(sf, 'media_resized_expected')}",
+)
+def media_resize_q(spark, sf_dir):
+    rz = mediaops.resize_images(synth_media_df(spark, sf_dir), 8, 8)
+    return rz.select(
+        "media_id", "width", "height", F.md5(F.col("data")).alias("data_md5")
+    )
 
 
 @q(
@@ -1149,6 +1271,28 @@ def gwv_dup_q(spark, sf_dir):
     return v.select("doc_id", "errcode", F.col("sortkey").alias("detail_key"))
 
 
+@q(
+    "gwv_dup_straight_violations",
+    lambda sf: __import__("gwv_spark.gwv_sql", fromlist=["x"]).dup_straight_sql(
+        synth_docs_sql(sf)
+    ),
+)
+def gwv_dup_straight_q(spark, sf_dir):
+    """The dup rule's straight-segment path (codes 10/11) with full
+    params, hash-checked against an independent relational oracle
+    (gwv_sql.dup_straight_sql) — the curve/part codes stay covered by the
+    reference fuzz differential."""
+    from gwv_spark import engine
+
+    v = engine.run_rules(_rule_ctx(spark, sf_dir), ["dup"]).where(
+        F.col("errcode").isin("10", "11")
+    )
+    params = F.array_join(
+        F.transform(F.col("detail"), lambda x: F.substring(x, 2, 1 << 30)), "|"
+    )
+    return v.select("doc_id", "errcode", params.alias("params"))
+
+
 @q("gwv_corner_violations")  # rows-only: connection-graph UDF (corner.py:729-831)
 def gwv_corner_q(spark, sf_dir):
     from gwv_spark import engine
@@ -1187,7 +1331,7 @@ def gwv_corner_q(spark, sf_dir):
     )
     SELECT category,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN is_alias THEN 1 ELSE 0 END) AS n_alias,
+           SUM(CASE WHEN is_alias THEN 1 ELSE 0 END)::BIGINT AS n_alias,
            SUM(len(spans))::BIGINT AS n_spans
     FROM cat
     GROUP BY category

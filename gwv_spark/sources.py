@@ -29,6 +29,20 @@ from pyspark.sql import functions as F
 from gwv_spark import parse
 
 
+def _assert_single_file(path: Path) -> None:
+    """The dump readers' dict-overwrite parity (last occurrence wins,
+    keyed on monotonically_increasing_id) relies on partition ids
+    following the split order of ONE file.  Across a glob/directory of
+    files Spark's partition ordering is not the reference's read order,
+    so the contract is a single regular file — fail loudly otherwise."""
+    if not path.is_file():
+        raise ValueError(
+            f"dump source must be a single regular file, got: {path} "
+            "(directory/glob inputs have no defined row order for "
+            "last-occurrence-wins dedup)"
+        )
+
+
 def _finalize(
     rows: DataFrame, timestamp: float
 ) -> tuple[DataFrame, DataFrame, float]:
@@ -55,6 +69,7 @@ def read_dump_csv(
     driver-side (it is table metadata, exactly as the reference treats
     it); the row body is a distributed text scan."""
     path = Path(path)
+    _assert_single_file(path)
     with path.open() as fp:
         timestamp = float(fp.readline().rstrip("\n"))
     cols = F.split(F.col("value"), ",", -1)
@@ -77,6 +92,7 @@ def read_dump_pipe(
 ) -> tuple[DataFrame, DataFrame, float]:
     """GlyphWiki pipe-table dump (dump.py:91-99)."""
     path = Path(path)
+    _assert_single_file(path)
     timestamp = path.stat().st_mtime
     raw = spark.read.text(str(path)).select(
         "value", F.monotonically_increasing_id().alias("pos")

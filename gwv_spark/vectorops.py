@@ -79,15 +79,52 @@ def _hyperplane(dim: int, plane_id: int) -> list[float]:
 
 
 def sign_lsh_buckets(
-    vectors: DataFrame, dim: int, n_planes: int = 12, vec_col: str = "embedding"
+    vectors: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    table_id: int = 0,
+    out_col: str = "lsh_bucket",
 ) -> DataFrame:
-    """Attach a sign-LSH bucket id: bit i = sign(v · plane_i)."""
+    """Attach a sign-LSH bucket id: bit i = sign(v · plane_i).
+
+    ``table_id`` selects an independent plane family (planes
+    ``table_id*n_planes .. table_id*n_planes+n_planes-1``) for OR-amplified
+    multi-table LSH."""
+    return vectors.withColumn(out_col, _bucket_expr(vec_col, dim, n_planes, table_id))
+
+
+def _bucket_expr(vec_col: str, dim: int, n_planes: int, table_id: int = 0):
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, i)])
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, table_id * n_planes + i)])
         bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
         bucket = bucket + F.shiftleft(bit, i)
-    return vectors.withColumn("lsh_bucket", bucket)
+    return bucket
+
+
+def lsh_amplification(threshold: float, n_planes: int, target_recall: float = 0.95) -> int:
+    """Number of OR'd hash tables needed for sign-LSH to reach
+    ``target_recall`` on pairs at cosine == ``threshold``.
+
+    A pair at cosine t agrees on one hyperplane's sign with
+    p = 1 - acos(t)/pi, lands in the same bucket of one table with
+    p**n_planes, and is found by at least one of T tables with
+    1 - (1 - p**n_planes)**T.  A single table is NOT enough away from
+    t=1 (p**6 is 0.53 at t=0.95) — that was round 1's silent recall
+    hole."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_band = p**n_planes
+    if p_band >= 1.0:
+        return 1
+    if p_band <= 1e-9:
+        raise ValueError(
+            f"sign-LSH with {n_planes} planes is hopeless at threshold "
+            f"{threshold} (band match prob {p_band:.2e}); use fewer planes"
+        )
+    return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band)))
 
 
 def lsh_cosine_topk(
@@ -135,34 +172,60 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     dim: int = 64,
     n_planes: int = 6,
+    n_tables: int | None = None,
+    target_recall: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: candidates restricted to
-    equal sign-LSH buckets (near-identical vectors agree on every
-    hyperplane sign with high probability), then exact cosine ≥
-    threshold inside the bucket.  At 10^12 vectors the bucket id is the
-    table's partition key, so the self join never crosses partition
-    groups; bucket sizes are bounded because near-duplicate clusters
-    are what the buckets isolate."""
-    v = sign_lsh_buckets(vectors, dim, n_planes, vec_col)
-    a = v.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), "lsh_bucket"
+    """Embedding-cosine near-duplicate pairs via OR-amplified sign-LSH.
+
+    Each vector lands in one bucket per hash table (independent plane
+    families); candidates are pairs sharing a bucket in ANY table
+    (recall 1-(1-p^n_planes)^n_tables, sized by
+    :func:`lsh_amplification` when ``n_tables`` is None), then exact
+    cosine ≥ threshold filters false positives.  Plan shape at 10^12
+    vectors: one explode to (table_id, bucket) keys — n_tables rows per
+    vector — one equi-self-join on (table_id, bucket) so no pair crosses
+    partition groups, one distinct on the pair to collapse multi-table
+    hits, exact scoring only on surviving candidates.  Bucket sizes are
+    bounded because near-duplicate clusters are what buckets isolate;
+    skewed buckets split under AQE."""
+    if n_tables is None:
+        n_tables = lsh_amplification(threshold, n_planes, target_recall)
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                _bucket_expr(vec_col, dim, n_planes, t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
     )
-    b = v.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"), "lsh_bucket"
+    keyed = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(buckets).alias("tb"),
+    ).select("id", "vec", "tb.table_id", "tb.bucket")
+    a = keyed.select(
+        F.col("id").alias("vec_a"), F.col("vec").alias("va"), "table_id", "bucket"
     )
-    pairs = (
-        a.join(b, "lsh_bucket")
+    b = keyed.select(
+        F.col("id").alias("vec_b"), F.col("vec").alias("vb"), "table_id", "bucket"
+    )
+    cand = (
+        a.join(b, ["table_id", "bucket"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb"))),
-                6,
-            ).alias("cosine"),
-        )
+        # same pair can match in several tables: collapse before the
+        # (more expensive) exact scoring — va/vb ride along, identical
+        # for every copy of a pair, so the dedup stays deterministic
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    pairs = cand.select(
+        "vec_a",
+        "vec_b",
+        F.round(
+            _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+            6,
+        ).alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= threshold)

@@ -37,7 +37,8 @@ def test_media_features_matches_numpy(spark):
         row = feats[rec["media_id"]]
         assert row["n_frames"] == arr.shape[0]
         assert row["mean_value"] == pytest.approx(arr.mean(), abs=1e-6)
-        assert row["byte_hist"] == np.bincount(arr.reshape(-1) >> 4, minlength=16)[:16].tolist()
+        hist = np.bincount(arr.reshape(-1) >> 4, minlength=16)[:16]
+        assert row["byte_hist"] == ",".join(str(int(x)) for x in hist)
 
 
 def test_resize_and_frame_sample_shapes(spark):

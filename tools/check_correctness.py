@@ -22,19 +22,38 @@ TABLES = [
 
 
 def norm_cell(v):
+    """Type-tagged cell canonicalization.
+
+    Deliberately dtype-SENSITIVE for numerics: the driver's harness goes
+    through pandas on both sides, so a DuckDB HUGEINT (uncast SUM over
+    ints -> float64 in pandas) hashes differently from Spark's int64 even
+    when the values are equal.  fetchall()-based comparison hid exactly
+    that bug in round 1 (stats_documents_columns / gwv_corpus_profile);
+    tagging ints vs floats makes it reproduce locally.
+    """
     import datetime
     import math
 
-    if v is None:
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NA or v is pd.NaT:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (float, np.floating)):
+        fv = float(v)
+        if math.isnan(fv):
             return "NaN"
-        return repr(v)
+        return f"f:{repr(fv)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return "x:" + bytes(v).hex()
     return str(v)
 
 
@@ -75,8 +94,10 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # through pandas, like the driver's harness — dtype matters
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = list(spdf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
@@ -86,9 +107,9 @@ def main():
             n_rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.execute(oracles[name]).df()
+            ocols = list(opdf.columns)
+            orows = list(opdf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e).splitlines()[0][:200]}")
             n_fail += 1
