@@ -1400,3 +1400,213 @@ def dup_straight_sql(parquet_expr: str) -> str:
            || '|' || amount::VARCHAR AS params
     FROM ft
     """
+
+
+_CORNER_BOXES = {
+    # (tate_pos, yoko_pos) -> tate endpoint type -> ordered tolerance
+    # boxes (code_sql, xmin, xmax, ymin, ymax); '__OK__' = legitimate
+    # connection, never emitted.  Mirrors corner.py:518-591.
+    (0, 0): {
+        12: [("'__OK__'", 0, 0, 0, 0), ("'00'", -7, 9, -5, 3)],
+        22: [("'02'", -7, 9, -5, 5)],
+        0: [("'08'", -7, 9, 0, 6)],
+        32: [("'09'", -7, 9, -5, 0)],
+    },
+    (0, 2): {
+        12: [("'20'", -7, 9, -5, 3)],
+        22: [("'__OK__'", 0, 0, 0, 0), ("'22'", -7, 9, -5, 5)],
+        0: [("'28'", -7, 9, 0, 6)],
+        32: [("'29'", -7, 9, -5, 0)],
+    },
+    (2, 0): {
+        13: [("'__OK__'", 0, 0, 0, 0), ("'11'", -8, 8, -2, 4)],
+        313: [
+            ("CASE WHEN isg THEN '64' ELSE '__OK__' END", 0, 0, 0, 0),
+            ("'44'", -8, 8, -14, 4),
+        ],
+        413: [
+            ("CASE WHEN ist THEN '46' ELSE '__OK__' END", 0, 0, 0, 0),
+            ("'66'", -8, 8, -14, 4),
+        ],
+        23: [("'13'", -8, 8, -6, 4)],
+        24: [("'1a'", -8, 8, -6, 4)],
+        0: [("'18'", -8, 8, -19, -2), ("'48'", -8, 8, -1, 4)],
+        32: [("'19'", -8, 8, 0, 4)],
+    },
+    (2, 2): {
+        13: [("'31'", -8, 8, -2, 4)],
+        313: [("'34'", -8, 8, -14, 4)],
+        413: [("'36'", -8, 8, -14, 4)],
+        23: [("'__OK__'", 0, 0, 0, 0), ("'33'", -8, 8, -6, 4)],
+        24: [("'__OK__'", 0, 0, 0, 0), ("'aa'", -8, 8, -6, 4)],
+        0: [("'38'", -8, 8, -19, -2)],
+        32: [("'39'", -8, 8, -19, 0)],
+    },
+}
+
+RE_G_DESIGN_SQL = "^(u[0-9a-f]+-[gi]([0-9]{2})?|zihai-[0-9]{6})$"
+RE_T_DESIGN_SQL = "^(u[0-9a-f]+-[th]([0-9]{2})?|twedu-.+|lgccc-.+|hka-.+)$"
+
+
+def _corner_combo_select(tpos: int, ypos: int) -> str:
+    """One UNION branch: classify the (tpos, ypos) corner of every
+    (tate, yoko) pair against the tolerance boxes, pre-preemption."""
+    t_type = "t_hst" if tpos == 0 else "t_het"
+    y_type = "y_hst" if ypos == 0 else "y_het"
+    tx, ty = (f"t_x{0 if tpos == 0 else 1}", f"t_y{0 if tpos == 0 else 1}")
+    yx, yy = (f"y_x{0 if ypos == 0 else 1}", f"y_y{0 if ypos == 0 else 1}")
+    dx, dy = f"({yx} - {tx})", f"({yy} - {ty})"
+    whens = []
+    for tt, boxes in _CORNER_BOXES[(tpos, ypos)].items():
+        inner = " ".join(
+            f"WHEN {dx} BETWEEN {x0} AND {x1} AND {dy} BETWEEN {y0} AND {y1} "
+            f"THEN {code}"
+            for code, x0, x1, y0, y1 in boxes
+        )
+        whens.append(f"WHEN {tt} THEN (CASE {inner} END)")
+    code0 = f"(CASE {t_type} {' '.join(whens)} END)"
+    if ypos == 2:
+        # open yoko end on a horizontal-connect shape overrides any box
+        # hit (incl. __OK__); at (2,2) the loop passes open_limit=0
+        lim = "" if tpos == 0 else f" AND {dx} >= 0"
+        code = (
+            f"(CASE WHEN {code0} IS NOT NULL AND y_het = 0{lim} "
+            f"THEN '78' ELSE {code0} END)"
+        )
+    else:
+        code = code0
+    where = [f"{y_type} IS NOT NULL"]
+    if (tpos, ypos) == (0, 0):
+        # lenient top-left curve connection (corner loop): excluded from
+        # the normal box classification entirely
+        where.append(
+            "NOT (y_stype IN (2, 6, 7) AND y_hst IS NOT NULL AND t_hst = 12"
+            " AND (y_x0 - t_x0) BETWEEN -7 AND 9"
+            " AND (y_y0 - t_y0) BETWEEN -5 AND 3)"
+        )
+    if (tpos, ypos) == (2, 2):
+        # the H/T-style slightly-apart pair gets its own code and skips
+        # the normal classification
+        a5 = (
+            "(y_het = 0 AND t_het = 32 AND (y_x1 - t_x1) BETWEEN 6 AND 18"
+            " AND (y_y1 - t_y1) BETWEEN 0 AND 8)"
+        )
+        code = f"(CASE WHEN {a5} THEN 'a5' WHEN y_het IS NOT NULL THEN {code} END)"
+        where = ["TRUE"]
+    return f"""
+      SELECT doc_id, {code} AS errcode, '{tpos}{ypos}' AS pos,
+             t_off::VARCHAR || ':' || t_text AS tate_ref,
+             y_off::VARCHAR || ':' || y_text AS yoko_ref
+      FROM pairs WHERE {' AND '.join(where)}
+    """
+
+
+def corner_boxhits_sql(parquet_expr: str) -> str:
+    """Pre-preemption corner tolerance-box hits — relational mirror of
+    corner setSegments (corner.py:196-238) + the pure box classification
+    of _try_connect_corner (corner.py:594-635) incl. the lenient
+    top-left and H/T bottom-right specials of the validator loop, WITHOUT
+    the mutable connection graph (preemption / mid-joints / ZH pass)."""
+    kc = kint("c")
+    combos = "\n      UNION ALL\n".join(
+        _corner_combo_select(tp, yp) for tp, yp in [(0, 0), (0, 2), (2, 0), (2, 2)]
+    )
+    return f"""
+    WITH {docs_cte(parquet_expr)},
+    gated AS (
+      SELECT doc_id, spans,
+             regexp_matches(doc_id, '{RE_G_DESIGN_SQL}') AS isg,
+             regexp_matches(doc_id, '{RE_T_DESIGN_SQL}') AS ist
+      FROM docs
+      WHERE entity_ref IS NULL AND category <> 'user-owned'
+        AND NOT {is_hikanji_expr()} AND NOT has_transform
+    ),
+    L AS (
+      SELECT doc_id, isg, ist, "offset" AS off, text,
+             list_transform(string_split(text, ':'), c -> {kc}) AS d
+      FROM (SELECT doc_id, isg, ist, unnest(spans, recursive := true) FROM gated)
+    ),
+    L2 AS (
+      SELECT *, d[1] AS st, (len(d) - 3) // 2 AS np FROM L
+      WHERE len(d) >= 3 AND d[2] IS NOT NULL AND d[3] IS NOT NULL
+        AND len(list_filter(range(1, (len(d) - 3) // 2 + 1),
+              i -> d[2 + 2 * i] IS NULL OR d[3 + 2 * i] IS NULL)) = 0
+    ),
+    -- straight segments (stroke types 1/3/4/7): head-to-second-point
+    straight0 AS (
+      SELECT doc_id, isg, ist, off, text, st AS stype,
+             d[2] AS hst0, CASE WHEN st = 1 THEN d[3] END AS het0,
+             d[4] AS ax, d[5] AS ay, d[6] AS bx, d[7] AS by
+      FROM L2 WHERE st IN (1, 3, 4, 7) AND np >= 2
+    ),
+    straight AS (
+      SELECT doc_id, isg, ist, off, text, stype,
+        CASE WHEN swap THEN het0 ELSE hst0 END AS hst,
+        CASE WHEN swap THEN hst0 ELSE het0 END AS het,
+        CASE WHEN swap THEN bx ELSE ax END AS sx0,
+        CASE WHEN swap THEN by ELSE ay END AS sy0,
+        CASE WHEN swap THEN ax ELSE bx END AS sx1,
+        CASE WHEN swap THEN ay ELSE by END AS sy1
+      FROM (
+        SELECT *, CASE WHEN (ay = by AND ax <> bx)
+                            OR (-(bx - ax) < (by - ay) AND (by - ay) < (bx - ax))
+                       THEN bx < ax ELSE by < ay END AS swap
+        FROM straight0
+      )
+    ),
+    straight_k AS (
+      SELECT *, CASE WHEN (sy0 = sy1 AND sx0 <> sx1)
+                          OR (-(sx1 - sx0) < (sy1 - sy0) AND (sy1 - sy0) < (sx1 - sx0))
+                     THEN 'Y' ELSE 'T' END AS kind
+      FROM straight
+    ),
+    -- forced segments: curve heads with corner shapes -> tate;
+    -- right-to-left sweeps (tail 7) -> yoko
+    forced AS (
+      SELECT doc_id, isg, ist, off, text, st AS stype, d[2] AS hst,
+             NULL::INTEGER AS het, d[4] AS sx0, d[5] AS sy0,
+             CASE WHEN st = 2 THEN d[8] ELSE d[10] END AS sx1,
+             CASE WHEN st = 2 THEN d[9] ELSE d[11] END AS sy1,
+             'T' AS kind
+      FROM L2
+      WHERE st IN (2, 6) AND np >= (CASE WHEN st = 2 THEN 3 ELSE 4 END)
+        AND d[2] IN (12, 22, 32)
+      UNION ALL
+      SELECT doc_id, isg, ist, off, text, st, 2, NULL,
+             CASE WHEN st = 2 THEN d[8] ELSE d[10] END,
+             CASE WHEN st = 2 THEN d[9] ELSE d[11] END,
+             d[4], d[5], 'Y'
+      FROM L2
+      WHERE st IN (2, 6) AND np >= (CASE WHEN st = 2 THEN 3 ELSE 4 END)
+        AND d[3] = 7 AND d[4] > (CASE WHEN st = 2 THEN d[8] ELSE d[10] END)
+      UNION ALL
+      SELECT doc_id, isg, ist, off, text, st, 2, NULL,
+             d[10], d[11], d[6], d[7], 'Y'
+      FROM L2
+      WHERE st = 7 AND np >= 4 AND d[3] = 7 AND d[6] > d[10]
+    ),
+    seg AS (
+      SELECT doc_id, isg, ist, off, text, stype, hst, het,
+             sx0, sy0, sx1, sy1, kind FROM straight_k
+      UNION ALL
+      SELECT doc_id, isg, ist, off, text, stype, hst, het,
+             sx0, sy0, sx1, sy1, kind FROM forced
+    ),
+    pairs AS (
+      SELECT tt.doc_id, tt.isg, tt.ist,
+             tt.stype AS t_stype, tt.hst AS t_hst, tt.het AS t_het,
+             tt.sx0 AS t_x0, tt.sy0 AS t_y0, tt.sx1 AS t_x1, tt.sy1 AS t_y1,
+             tt.off AS t_off, tt.text AS t_text,
+             yy.stype AS y_stype, yy.hst AS y_hst, yy.het AS y_het,
+             yy.sx0 AS y_x0, yy.sy0 AS y_y0, yy.sx1 AS y_x1, yy.sy1 AS y_y1,
+             yy.off AS y_off, yy.text AS y_text
+      FROM seg tt JOIN seg yy
+        ON tt.doc_id = yy.doc_id AND tt.kind = 'T' AND yy.kind = 'Y'
+      WHERE NOT (tt.stype IN (2, 6) AND yy.stype IN (2, 6, 7))
+    ),
+    hits AS (
+      {combos}
+    )
+    SELECT doc_id, errcode, pos, tate_ref, yoko_ref
+    FROM hits WHERE errcode IS NOT NULL AND errcode <> '__OK__'
+    """

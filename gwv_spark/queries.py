@@ -248,6 +248,29 @@ def stats_documents_columns(spark, sf_dir):
     return stats.column_stats(T(spark, sf_dir, "documents"), _DOC_COLS, exact_distinct=True)
 
 
+_NP_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@q(
+    "stats_numeric_profile_lineitem",
+    lambda sf: "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column,
+               ROUND(SUM({c}::DECIMAL(12,2))::DOUBLE / COUNT({c}), 6) AS mean,
+               ROUND(sqrt(GREATEST(
+                 SUM(({c}::DECIMAL(12,2)) * ({c}::DECIMAL(12,2)))::DOUBLE / COUNT({c})
+                 - (SUM({c}::DECIMAL(12,2))::DOUBLE / COUNT({c}))
+                   * (SUM({c}::DECIMAL(12,2))::DOUBLE / COUNT({c})), 0.0)), 6) AS stddev,
+               ROUND(quantile_cont({c}::DOUBLE, 0.25), 6) AS p25,
+               ROUND(quantile_cont({c}::DOUBLE, 0.50), 6) AS p50,
+               ROUND(quantile_cont({c}::DOUBLE, 0.75), 6) AS p75
+        FROM lineitem"""
+        for c in _NP_COLS
+    ),
+)
+def stats_numeric_profile_q(spark, sf_dir):
+    return stats.numeric_profile(T(spark, sf_dir, "lineitem"), _NP_COLS, exact=True)
+
+
 @q(
     "stats_uniqueness_orders",
     lambda sf: """
@@ -466,13 +489,20 @@ def text_fingerprint(spark, sf_dir):
     return textops.fingerprint(T(spark, sf_dir, "documents"))
 
 
-_SHINGLE_SQL = """
+# Shingle document-frequency cap mirrored on both sides: stop-shingles
+# (df > _MAX_SHINGLE_DF) are dropped before any pair computation.
+_MAX_SHINGLE_DF = 100
+
+_SHINGLE_SQL = f"""
   tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
   sh AS (SELECT doc_id,
                 list_distinct(list_transform(range(1, GREATEST(len(toks) - 2, 0) + 1),
                               i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
          FROM tok),
-  shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+  shx0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+  dfreq AS (SELECT shingle, COUNT(*) AS df FROM shx0 GROUP BY 1),
+  shx AS (SELECT s.doc_id, s.shingle FROM shx0 s
+          JOIN dfreq USING (shingle) WHERE df <= {_MAX_SHINGLE_DF}),
   sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shx GROUP BY doc_id),
   inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
             FROM shx a JOIN shx b USING (shingle)
@@ -493,7 +523,9 @@ _SHINGLE_SQL = """
     """,
 )
 def text_jaccard(spark, sf_dir):
-    return textops.jaccard_pairs(T(spark, sf_dir, "documents"), threshold=0.8)
+    return textops.jaccard_pairs(
+        T(spark, sf_dir, "documents"), threshold=0.8, max_df=_MAX_SHINGLE_DF
+    )
 
 
 def _minhash_sql(sf: str, k: int = 16, band_size: int = 4, threshold: float = 0.7) -> str:
@@ -523,7 +555,9 @@ def _minhash_sql(sf: str, k: int = 16, band_size: int = 4, threshold: float = 0.
 
 @q("text_minhash_lsh_pairs", _minhash_sql)
 def text_minhash(spark, sf_dir):
-    return textops.minhash_lsh_pairs(T(spark, sf_dir, "documents"), threshold=0.7)
+    return textops.minhash_lsh_pairs(
+        T(spark, sf_dir, "documents"), threshold=0.7, max_df=_MAX_SHINGLE_DF
+    )
 
 
 @q(
@@ -1291,6 +1325,23 @@ def gwv_dup_straight_q(spark, sf_dir):
         F.transform(F.col("detail"), lambda x: F.substring(x, 2, 1 << 30)), "|"
     )
     return v.select("doc_id", "errcode", params.alias("params"))
+
+
+@q(
+    "gwv_corner_boxhits",
+    lambda sf: __import__("gwv_spark.gwv_sql", fromlist=["x"]).corner_boxhits_sql(
+        synth_docs_sql(sf)
+    ),
+)
+def gwv_corner_boxhits_q(spark, sf_dir):
+    """Pre-preemption corner tolerance-box hits, reusing the corner
+    rule's own segment derivation and box classification (rules/corner
+    _segments + _box_code), hash-checked against an independent
+    relational mirror (gwv_sql.corner_boxhits_sql).  The connection
+    graph itself stays covered by the reference fuzz differential."""
+    from gwv_spark.rules import corner as corner_mod
+
+    return corner_mod.boxhits(_rule_ctx(spark, sf_dir))
 
 
 @q("gwv_corner_violations")  # rows-only: connection-graph UDF (corner.py:729-831)

@@ -241,13 +241,18 @@ def _type_maps(is_g: bool, is_t: bool):
     }
 
 
-def _corner_try(t: Seg, y: Seg, tpos: int, ypos: int, tmap, open_limit=None) -> bool:
-    """_try_connect_corner (corner.py:594-635)."""
+def _box_code(t: Seg, y: Seg, tpos: int, ypos: int, tmap, open_limit=None) -> str | None:
+    """Side-effect-free core of _try_connect_corner (corner.py:594-635):
+    classify one (tate endpoint, yoko endpoint) attempt against the
+    ordered tolerance boxes.  Returns the code (possibly _OK) or None
+    when no box matches.  Shared by the live rule (_corner_try) and the
+    pre-preemption box-hits sub-check (boxhit_rows) so the relational
+    oracle exercises exactly the classification the rule uses."""
     ttype = t.typ(tpos)
     if ttype not in tmap:
-        return False
+        return None
     if y.typ(ypos) == _ANY:
-        return False
+        return None
     tx, ty = t.pt(tpos)
     yx, yy = y.pt(ypos)
     dx, dy = yx - tx, yy - ty
@@ -257,9 +262,17 @@ def _corner_try(t: Seg, y: Seg, tpos: int, ypos: int, tmap, open_limit=None) -> 
         None,
     )
     if code is None:
-        return False
+        return None
     if ypos == 2 and y.typ(2) == 0 and (open_limit is None or open_limit <= dx):
         code = "78"  # open end sitting on a horizontal-connect shape
+    return code
+
+
+def _corner_try(t: Seg, y: Seg, tpos: int, ypos: int, tmap, open_limit=None) -> bool:
+    """_try_connect_corner (corner.py:594-635)."""
+    code = _box_code(t, y, tpos, ypos, tmap, open_limit)
+    if code is None:
+        return False
     _link(t, y, tpos, ypos, code)
     return True
 
@@ -569,3 +582,101 @@ def corner(ctx: RuleContext) -> DataFrame:
         .select("doc_id", F.col("h.errcode").alias("ec"), F.col("h.detail").alias("dt"))
     )
     return shape(d, "corner", F.col("ec"), F.col("dt"))
+
+
+# ------------------------------------------------- box-hits sub-check
+
+def boxhit_rows(gdata: str, is_g: bool, is_t: bool):
+    """Pre-preemption corner tolerance-box hits.
+
+    Every (tate, yoko) pair × corner position whose endpoint deltas fall
+    in a tolerance box — i.e. the declarative subset of
+    _corner_violations BEFORE the connection graph applies preemption /
+    eviction / mid-joints / the ZH post-pass.  This reuses the live
+    rule's _segments and _box_code verbatim, so a relational oracle over
+    these rows differentially validates the rule's segment derivation
+    and box classification (corner.py:196-238, 518-635); only the
+    order-dependent graph semantics remain covered by the fuzz
+    differential alone."""
+    tate, yoko = _segments(parse_gdata(gdata))
+    maps = _type_maps(is_g, is_t)
+    out = []
+    for t in tate:
+        for y in yoko:
+            if t.stype in (2, 6) and y.stype in (2, 6, 7):
+                continue
+            hits = []
+            if (
+                y.stype in (2, 6, 7)
+                and y.st != _ANY
+                and t.st == 12
+                and -7 <= y.x0 - t.x0 <= 9
+                and -5 <= y.y0 - t.y0 <= 3
+            ):
+                pass  # lenient top-left curve connection — _OK, never an error
+            else:
+                hits.append((0, 0, _box_code(t, y, 0, 0, maps[0, 0])))
+            hits.append((0, 2, _box_code(t, y, 0, 2, maps[0, 2])))
+            hits.append((2, 0, _box_code(t, y, 2, 0, maps[2, 0])))
+            if (
+                y.et == 0
+                and t.et == 32
+                and 6 <= y.x1 - t.x1 <= 18
+                and 0 <= y.y1 - t.y1 <= 8
+            ):
+                hits.append((2, 2, "a5"))
+            else:
+                hits.append((2, 2, _box_code(t, y, 2, 2, maps[2, 2], 0)))
+            for tpos, ypos, code in hits:
+                if code is not None and code != _OK:
+                    out.append(
+                        (
+                            code,
+                            f"{tpos}{ypos}",
+                            f"{t.line.offset}:{t.line.text}",
+                            f"{y.line.offset}:{y.line.text}",
+                        )
+                    )
+    return out
+
+
+_BOXHITS_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("errcode", StringType()),
+            StructField("pos", StringType()),
+            StructField("tate_ref", StringType()),
+            StructField("yoko_ref", StringType()),
+        ]
+    )
+)
+
+
+@pandas_udf(_BOXHITS_TYPE)
+def _boxhits_udf(gdata: pd.Series, is_g: pd.Series, is_t: pd.Series) -> pd.Series:
+    return pd.Series(
+        [boxhit_rows(g, bool(gd), bool(td)) for g, gd, td in zip(gdata, is_g, is_t)]
+    )
+
+
+def boxhits(ctx: RuleContext) -> DataFrame:
+    """doc_id, errcode, pos, tate_ref, yoko_ref — same gates as the rule."""
+    base = ctx.docs.where(
+        (~F.col("is_alias"))
+        & (F.col("category") != "user-owned")
+        & (~F.col("is_hikanji"))
+        & (~F.col("has_transform"))
+    )
+    return (
+        base.select(
+            "doc_id",
+            _boxhits_udf(
+                F.col("gdata"),
+                F.col("doc_id").rlike(RE_G_DESIGN),
+                F.col("doc_id").rlike(RE_T_DESIGN),
+            ).alias("hits"),
+        )
+        .where(F.size("hits") > 0)
+        .select("doc_id", F.explode("hits").alias("h"))
+        .select("doc_id", "h.errcode", "h.pos", "h.tate_ref", "h.yoko_ref")
+    )
