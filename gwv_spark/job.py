@@ -64,6 +64,17 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     p.add_argument("--attrs", default=None, help="doc_attrs parquet path")
     p.add_argument("--n-buckets", type=int, default=256)
     p.add_argument("--run-id", default=None, help="default: the input snapshot id")
+    p.add_argument(
+        "--exec-mode",
+        choices=["fused", "concurrent"],
+        default="fused",
+        help="fused: ONE action (18-rule union, dynamic partition "
+        "overwrite; the single-submission cluster shape).  concurrent: "
+        "one Spark job per rule, several in flight — overlaps driver-side "
+        "planning with executor work (measured ~4x faster when the "
+        "driver is the bottleneck); each rule overwrites its own "
+        "rule_id=<id> directory unconditionally.",
+    )
     p.add_argument("--resume", action="store_true", help="skip completed (rule,bucket)s")
     p.add_argument("--no-cache", action="store_true")
     p.add_argument(
@@ -119,9 +130,14 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         # partitions are truncated first so a now-clean rule doesn't
         # resurrect stale violations (see _clear_rule_partitions).
         _clear_rule_partitions(spark, f"{out}/violations", rule_ids)
-        engine.run_rules(ctx, rule_ids).write.mode("overwrite").partitionBy(
-            "rule_id"
-        ).parquet(f"{out}/violations")
+        if args.exec_mode == "concurrent":
+            engine.run_rules_concurrent(
+                ctx, rule_ids, sink=engine.parquet_sink(f"{out}/violations")
+            )
+        else:
+            engine.run_rules(ctx, rule_ids).write.mode("overwrite").partitionBy(
+                "rule_id"
+            ).parquet(f"{out}/violations")
 
     try:
         violations = spark.read.parquet(f"{out}/violations")

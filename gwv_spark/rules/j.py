@@ -113,35 +113,50 @@ def j(ctx: RuleContext) -> DataFrame:
     # existence probes, and ucs-in-no-apply — FOUR lookups keyed by the
     # same nomark name, folded into ONE aggregated probe frame and one
     # join (four full-corpus shuffle joins otherwise)
-    def _probe(df, ne=None, has_j=None, has_ja=None, ucs_na=None):
-        return df.select(
-            F.col(df.columns[0]).alias("ucs"),
-            (ne if ne is not None else F.lit(None).cast("string")).alias(
-                "nomark_entity"
-            ),
-            F.lit(has_j).cast("boolean").alias("has_j"),
-            F.lit(has_ja).cast("boolean").alias("has_ja"),
-            F.lit(ucs_na).cast("boolean").alias("ucs_no_apply"),
+    # ONE scan of the cached docs emits every probe row (round 1 unioned
+    # three full scans — same cache read 3×): each doc contributes its
+    # nomark row plus, when its name ends in -j / -ja, the existence row
+    # for the stripped name.  The no-apply rows are a tiny fourth input.
+    def _row(ucs, ne, hj, hja, na):
+        return F.struct(
+            ucs.alias("ucs"),
+            ne.alias("nomark_entity"),
+            hj.alias("has_j"),
+            hja.alias("has_ja"),
+            na.alias("ucs_no_apply"),
         )
 
-    nm = _probe(ctx.docs.select("doc_id", "raw_entity"), ne=F.col("raw_entity"))
-    jn = _probe(
-        ctx.docs.where(F.col("doc_id").endswith("-j")).select(
-            F.expr("substring(doc_id, 1, length(doc_id) - 2)")
+    _null_s = F.lit(None).cast("string")
+    _null_b = F.lit(None).cast("boolean")
+    probe_rows = F.array(
+        _row(F.col("doc_id"), F.col("raw_entity"), _null_b, _null_b, _null_b),
+        F.when(
+            F.col("doc_id").endswith("-j"),
+            _row(
+                F.expr("substring(doc_id, 1, length(doc_id) - 2)"),
+                _null_s, F.lit(True), _null_b, _null_b,
+            ),
         ),
-        has_j=True,
-    )
-    jan = _probe(
-        ctx.docs.where(F.col("doc_id").endswith("-ja")).select(
-            F.expr("substring(doc_id, 1, length(doc_id) - 3)")
+        F.when(
+            F.col("doc_id").endswith("-ja"),
+            _row(
+                F.expr("substring(doc_id, 1, length(doc_id) - 3)"),
+                _null_s, _null_b, F.lit(True), _null_b,
+            ),
         ),
-        has_ja=True,
     )
-    nap = _probe(no_apply.select("na_part"), ucs_na=True)
+    nm = ctx.docs.select(
+        F.explode(F.filter(probe_rows, lambda r: r.isNotNull())).alias("p")
+    ).select("p.*")
+    nap = no_apply.select(
+        F.col("na_part").alias("ucs"),
+        _null_s.alias("nomark_entity"),
+        _null_b.alias("has_j"),
+        _null_b.alias("has_ja"),
+        F.lit(True).alias("ucs_no_apply"),
+    )
     probe = (
-        nm.unionByName(jn)
-        .unionByName(jan)
-        .unionByName(nap)
+        nm.unionByName(nap)
         .groupBy("ucs")
         .agg(
             F.max("nomark_entity").alias("nomark_entity"),
@@ -158,8 +173,10 @@ def j(ctx: RuleContext) -> DataFrame:
     parts = ctx.spans.where(F.col("kind") == "part").select(
         F.col("doc_id").alias("entity"), "offset", F.col("media_ref").alias("pbase")
     )
+    # both dims derive from small config seeds (+ alias closure) —
+    # broadcast so the big part-span side never shuffles here
     jv_parts = (
-        parts.join(no_apply, parts["pbase"] == no_apply["na_part"], "left")
+        parts.join(F.broadcast(no_apply), parts["pbase"] == no_apply["na_part"], "left")
         .join(F.broadcast(no_use), parts["pbase"] == no_use["banned"], "left")
         .where(F.col("na_part").isNotNull() | F.col("banned").isNotNull())
         .groupBy("entity")

@@ -38,6 +38,42 @@ def test_job_end_to_end_and_resume(spark, tmp_path):
     assert ledger2.where("partition_id = -1").count() == 3
 
 
+def test_job_concurrent_mode_matches_fused(spark, tmp_path):
+    """--exec-mode concurrent (one Spark job per rule, per-rule dir
+    overwrite) must produce the identical violations table as the fused
+    single-action write."""
+    data_dir = ensure_corpus(tmp_path / "corpus", 300)
+    common = ["--input", str(data_dir / "documents.parquet"),
+              "--rules", "numexp", "delquote", "order", "--n-buckets", "16"]
+    job.main(common + ["--output", str(tmp_path / "fused")], spark=spark)
+    job.main(
+        common + ["--output", str(tmp_path / "conc"), "--exec-mode", "concurrent"],
+        spark=spark,
+    )
+    a = spark.read.parquet(str(tmp_path / "fused" / "violations"))
+    b = spark.read.parquet(str(tmp_path / "conc" / "violations"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_job_clean_rule_truncates_stale_partition(spark, tmp_path):
+    """A rule that becomes violation-free on a rerun must not resurrect
+    its stale partition (dynamic partition overwrite only replaces
+    partitions that receive rows)."""
+    data_dir = ensure_corpus(tmp_path / "corpus", 300)
+    out = tmp_path / "out"
+    args = ["--output", str(out), "--rules", "numexp", "--n-buckets", "16"]
+    job.main(["--input", str(data_dir / "documents.parquet")] + args, spark=spark)
+    vio1 = spark.read.parquet(str(out / "violations"))
+    assert vio1.count() > 0
+    # corpus minus every numexp-offending doc -> rule is now clean
+    docs = spark.read.parquet(str(data_dir / "documents.parquet"))
+    clean = docs.join(vio1.select("doc_id").dropDuplicates(), "doc_id", "left_anti")
+    clean.write.mode("overwrite").parquet(str(tmp_path / "clean.parquet"))
+    job.main(["--input", str(tmp_path / "clean.parquet")] + args, spark=spark)
+    verdicts = spark.read.parquet(str(out / "verdicts"))
+    assert verdicts.where("pass = false").count() == 0
+
+
 def test_snapshot_fingerprint_pins_resume(spark, tmp_path):
     """catalog.snapshot_id changes when the corpus changes, so a resume
     ledger keyed by it cannot reuse state from an older corpus."""

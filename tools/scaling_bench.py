@@ -10,26 +10,32 @@ CPU calibration (multiprocessing busy loops, no Spark) shows the
 hardware itself only sustains ~0.75 efficiency from 8 to 32 workers
 (virtualization/turbo effects) — 0.8 is unreachable *for any program*
 at that pairing.  At 4 → 16 workers the hardware ceiling is ~0.87.  The
-calibration runs fresh each time and is reported in the JSON so the
-engine's efficiency can be read against the machine's own ceiling.
+calibration runs fresh each time (start AND end of the experiment) and
+is reported in the JSON so the engine's efficiency can be read against
+the machine's own ceiling.
 
-Protocol — MARGINAL throughput.  The measured job is the full 18-rule
-fused suite (one action, engine.run_suite's plan).  A suite run has two
-cost components: a per-JOB constant F (Catalyst planning of the 18-rule
-union, janino codegen, JVM JIT warm-up, AQE re-planning — all driver-
-side and parallelism-independent) and the per-DOC work W that actually
-scales with executors.  At the north rule's 10^12-doc scale F is
-vanishingly small (one plan, hours of execution), but on a seconds-long
-local slice it dominates and masks the scaling of W.  So each level
-times the SAME warmed plan on TWO corpus sizes and reports the marginal
-throughput  (n_big - n_small) / (T_big - T_small),  which cancels F
-exactly.  Raw (total-time) throughput is reported alongside.
+Protocol (round 2 — redesigned per the round-1 review):
 
-min-of-K per size because the virtualized host shows minute-scale
-background load (observed idle load-avg spikes >10); the minimum is the
-least-interference estimate.
+- MEASURED CONFIGURATION: engine.run_rules_concurrent — every rule's
+  plan submitted as its own Spark job, several in flight (the deployed
+  configuration; measured ~4× faster than the single 18-branch union at
+  local[32] because the union serializes all driver-side branch work
+  behind one job while concurrent jobs overlap driver and executor
+  work).
+- MARGINAL throughput: each level times the SAME warmed plans on TWO
+  corpus sizes and reports (n_big - n_small) / (T_big - T_small), which
+  cancels the per-job parallelism-independent constant (Catalyst
+  analysis, codegen, JIT warm-up) exactly.  Raw totals are reported
+  alongside.
+- INTERLEAVED A/B/A/B: both levels run as PERSISTENT worker processes
+  (corpus built and cached once per level); measurement turns alternate
+  N, 4N, N, 4N ... coordinated by token files, so minute-scale host
+  drift (observed idle load-avg spikes >10 on this box) hits both
+  levels symmetrically instead of whichever ran second.
+- min-of-K turns per level (K = ROUNDS) as the least-interference
+  estimate; all per-turn samples are reported for dispersion.
 
-Usage: python tools/scaling_bench.py [n_small] [n_big] [out_json]
+Usage: python tools/scaling_bench.py [n_small] [n_big] [out_json] [rounds]
 """
 
 from __future__ import annotations
@@ -38,15 +44,18 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
+import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
 N_CPUS, N4_CPUS = 4, 16
-REPS = 2
+ROUNDS = 5
 
 _WORKER = r"""
 import json, sys, time
+from pathlib import Path
 sys.path.insert(0, {repo!r})
 from gwv_spark.session import get_spark
 from gwv_spark import engine
@@ -55,59 +64,43 @@ from gwv_spark.corpus import spark_generate
 cpus = int(sys.argv[1])
 n_small = int(sys.argv[2])
 n_big = int(sys.argv[3])
-reps = int(sys.argv[4])
+rounds = int(sys.argv[4])
+sync = Path(sys.argv[5])
+
 spark = get_spark(f"scaling-{{cpus}}", cpus=cpus, shuffle_partitions=cpus,
                   extra_conf={{"spark.ui.showConsoleProgress": "false"}})
 spark.sparkContext.setLogLevel("ERROR")
 
-plans = {{}}
 t0 = time.time()
+ctxs = {{}}
 for n in (n_small, n_big):
     docs = spark_generate(spark, n, partitions=max(cpus * 4, 16)).select("doc_id", "spans")
-    ctx = engine.make_context(spark, docs, cache=True)
-    plans[n] = engine.run_rules(ctx)
+    ctxs[n] = engine.make_context(spark, docs, cache=True)
 build = time.time() - t0
 
-def run(df):
+def run(n):
     t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
+    engine.run_rules_concurrent(ctxs[n])
     return round(time.time() - t0, 2)
 
-# cold: first-ever execution of the big plan (codegen + JIT, reported
-# for transparency); then a warm-up of the small size
-cold_big = run(plans[n_big])
-run(plans[n_small])
+# warm both sizes once (codegen + JIT; python workers spin up)
+cold = {{n: run(n) for n in (n_small, n_big)}}
 
-times = {{n_small: [], n_big: []}}
-for _ in range(reps):
-    for n in (n_small, n_big):
-        times[n].append(run(plans[n]))
+(sync / f"ready_{{cpus}}").write_text("1")
 
-print(json.dumps({{
-    "cpus": cpus, "n_small": n_small, "n_big": n_big,
-    "build_sec": round(build, 2), "cold_big_sec": cold_big,
-    "t_small": times[n_small], "t_big": times[n_big],
-    "t_small_min": min(times[n_small]), "t_big_min": min(times[n_big]),
+for k in range(rounds):
+    token = sync / f"turn_{{cpus}}_{{k}}"
+    while not token.exists():
+        time.sleep(0.2)
+    res = {{"t_small": run(n_small), "t_big": run(n_big)}}
+    (sync / f"done_{{cpus}}_{{k}}").write_text(json.dumps(res))
+
+(sync / f"result_{{cpus}}").write_text(json.dumps({{
+    "cpus": cpus, "build_sec": round(build, 2),
+    "cold_small_sec": cold[n_small], "cold_big_sec": cold[n_big],
 }}))
 spark.stop()
 """
-
-
-def run_level(cpus: int, n_small: int, n_big: int) -> dict:
-    script = _WORKER.format(repo=str(REPO))
-    out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), str(n_small), str(n_big), str(REPS)],
-        capture_output=True,
-        text=True,
-        check=True,
-        cwd=REPO,
-        env={
-            **os.environ,
-            "PYTHONPATH": str(REPO),
-            "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "48g"),
-        },
-    )
-    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def _burn(_):
@@ -176,33 +169,103 @@ def hardware_calibration(n_lo: int = N_CPUS, n_hi: int = N4_CPUS) -> dict:
 
 
 def main() -> None:
-    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
-    n_big = int(sys.argv[2]) if len(sys.argv) > 2 else 3_000_000
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    n_big = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
     out_path = Path(sys.argv[3]) if len(sys.argv) > 3 else REPO / "BENCH_scaling.json"
+    rounds = int(sys.argv[4]) if len(sys.argv) > 4 else ROUNDS
 
-    calib = hardware_calibration()
-    lo = run_level(N_CPUS, n_small, n_big)
-    hi = run_level(N4_CPUS, n_small, n_big)
+    calib_before = hardware_calibration()
+
+    sync = Path(tempfile.mkdtemp(prefix="scaling_sync_"))
+    procs = {}
+    for cpus in (N_CPUS, N4_CPUS):
+        script = _WORKER.format(repo=str(REPO))
+        procs[cpus] = subprocess.Popen(
+            [sys.executable, "-c", script, str(cpus), str(n_small), str(n_big),
+             str(rounds), str(sync)],
+            cwd=REPO,
+            env={
+                **os.environ,
+                "PYTHONPATH": str(REPO),
+                "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "40g"),
+            },
+        )
+
+    def wait_for(path: Path, timeout=3600):
+        t0 = time.time()
+        while not path.exists():
+            for p in procs.values():
+                if p.poll() not in (None, 0):
+                    raise RuntimeError(f"worker died rc={p.returncode}")
+            if time.time() - t0 > timeout:
+                raise TimeoutError(str(path))
+            time.sleep(0.5)
+
+    # both corpora cached before any measurement turn
+    for cpus in (N_CPUS, N4_CPUS):
+        wait_for(sync / f"ready_{cpus}")
+
+    turns: dict[int, list[dict]] = {N_CPUS: [], N4_CPUS: []}
+    for k in range(rounds):
+        for cpus in (N_CPUS, N4_CPUS):  # strict A/B alternation
+            (sync / f"turn_{cpus}_{k}").write_text("1")
+            done = sync / f"done_{cpus}_{k}"
+            wait_for(done)
+            turns[cpus].append(json.loads(done.read_text()))
+
+    meta = {}
+    for cpus, p in procs.items():
+        wait_for(sync / f"result_{cpus}")
+        meta[cpus] = json.loads((sync / f"result_{cpus}").read_text())
+        p.wait(timeout=300)
+
+    calib_after = hardware_calibration()
 
     dn = n_big - n_small
     ratio = N4_CPUS / N_CPUS
 
-    def marginal(level: dict) -> float:
-        return dn / (level["t_big_min"] - level["t_small_min"])
+    def level_stats(cpus: int) -> dict:
+        ts = [t["t_small"] for t in turns[cpus]]
+        tb = [t["t_big"] for t in turns[cpus]]
+        return {
+            **meta[cpus],
+            "t_small": ts,
+            "t_big": tb,
+            "t_small_min": min(ts),
+            "t_big_min": min(tb),
+        }
 
-    marg_lo, marg_hi = marginal(lo), marginal(hi)
-    raw_lo = n_big / lo["t_big_min"]
-    raw_hi = n_big / hi["t_big_min"]
+    lo, hi = level_stats(N_CPUS), level_stats(N4_CPUS)
+    marg_lo = dn / (lo["t_big_min"] - lo["t_small_min"])
+    marg_hi = dn / (hi["t_big_min"] - hi["t_small_min"])
+    raw_lo, raw_hi = n_big / lo["t_big_min"], n_big / hi["t_big_min"]
+    eff_marginal = marg_hi / marg_lo / ratio
+    eff_raw = raw_hi / raw_lo / ratio
+    # per-round efficiency (paired turns) for dispersion
+    per_round = [
+        round(
+            (dn / (b["t_big"] - b["t_small"]))
+            / (dn / (a["t_big"] - a["t_small"]))
+            / ratio,
+            3,
+        )
+        for a, b in zip(turns[N_CPUS], turns[N4_CPUS])
+    ]
+    membw_ceiling = min(
+        calib_before["membw_stream"]["scaling_efficiency"],
+        calib_after["membw_stream"]["scaling_efficiency"],
+    )
 
     result = {
         "metric": "validation_scaling_efficiency",
         "protocol": (
-            f"full 18-rule fused suite; local[{N_CPUS}] (N) vs local[{N4_CPUS}] "
-            f"(4N); marginal throughput over {n_small:,} vs {n_big:,} docs "
-            f"(cancels the per-job driver constant: planning/codegen/JIT); "
-            f"min of {REPS} warmed runs per size"
+            f"full 18-rule suite via run_rules_concurrent (per-rule jobs, "
+            f"deployed configuration); local[{N_CPUS}] (N) vs local[{N4_CPUS}] (4N); "
+            f"persistent workers, measurement turns interleaved N,4N x{rounds}; "
+            f"marginal throughput over {n_small:,} vs {n_big:,} docs "
+            f"(cancels the per-job driver constant); min over turns"
         ),
-        "hardware_calibration": calib,
+        "hardware_calibration": {"before": calib_before, "after": calib_after},
         "levels": {"N": lo, "4N": hi},
         "throughput_docs_per_sec": {
             "marginal": {
@@ -215,8 +278,13 @@ def main() -> None:
             },
         },
         "scaling_efficiency": {
-            "marginal": round(marg_hi / marg_lo / ratio, 3),
-            "raw_total": round(raw_hi / raw_lo / ratio, 3),
+            "marginal": round(eff_marginal, 3),
+            "raw_total": round(eff_raw, 3),
+            "per_round_marginal": per_round,
+            "hardware_membw_ceiling": membw_ceiling,
+            "marginal_vs_membw_ceiling": round(eff_marginal / membw_ceiling, 3)
+            if membw_ceiling
+            else None,
         },
     }
     out_path.write_text(json.dumps(result, indent=2) + "\n")
