@@ -1465,6 +1465,9 @@ def _corner_combo_select(tpos: int, ypos: int) -> str:
         )
         whens.append(f"WHEN {tt} THEN (CASE {inner} END)")
     code0 = f"(CASE {t_type} {' '.join(whens)} END)"
+    # -1 in data IS the no-end sentinel (_STYLE_NO_END): such a yoko
+    # endpoint can never take a corner connection, same as a forced
+    # segment's NULL end type
     if ypos == 2:
         # open yoko end on a horizontal-connect shape overrides any box
         # hit (incl. __OK__); at (2,2) the loop passes open_limit=0
@@ -1475,13 +1478,13 @@ def _corner_combo_select(tpos: int, ypos: int) -> str:
         )
     else:
         code = code0
-    where = [f"{y_type} IS NOT NULL"]
+    where = [f"{y_type} IS NOT NULL AND {y_type} <> -1"]
     if (tpos, ypos) == (0, 0):
         # lenient top-left curve connection (corner loop): excluded from
         # the normal box classification entirely
         where.append(
-            "NOT (y_stype IN (2, 6, 7) AND y_hst IS NOT NULL AND t_hst = 12"
-            " AND (y_x0 - t_x0) BETWEEN -7 AND 9"
+            "NOT (y_stype IN (2, 6, 7) AND y_hst IS NOT NULL AND y_hst <> -1"
+            " AND t_hst = 12 AND (y_x0 - t_x0) BETWEEN -7 AND 9"
             " AND (y_y0 - t_y0) BETWEEN -5 AND 3)"
         )
     if (tpos, ypos) == (2, 2):
@@ -1491,7 +1494,10 @@ def _corner_combo_select(tpos: int, ypos: int) -> str:
             "(y_het = 0 AND t_het = 32 AND (y_x1 - t_x1) BETWEEN 6 AND 18"
             " AND (y_y1 - t_y1) BETWEEN 0 AND 8)"
         )
-        code = f"(CASE WHEN {a5} THEN 'a5' WHEN y_het IS NOT NULL THEN {code} END)"
+        code = (
+            f"(CASE WHEN {a5} THEN 'a5' "
+            f"WHEN y_het IS NOT NULL AND y_het <> -1 THEN {code} END)"
+        )
         where = ["TRUE"]
     return f"""
       SELECT doc_id, {code} AS errcode, '{tpos}{ypos}' AS pos,

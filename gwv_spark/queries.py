@@ -794,7 +794,7 @@ def vec_near_dup_recall(spark, sf_dir):
         (F.col("vec_a") < 50) & (F.col("vec_b") == F.col("vec_a") + 1000000)
     ).agg(F.count(F.lit(1)).alias("n_detected"))
     return (
-        n_planted.crossJoin(n_detected)
+        n_planted.crossJoin(F.broadcast(n_detected))
         .select(
             "n_planted",
             "n_detected",

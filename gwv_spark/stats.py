@@ -187,7 +187,7 @@ def psi_by_group(df: DataFrame, value: Column, group: Column, baseline_group: st
     # full outer per group over the union of buckets: left join both ways
     buckets = hist.select("bucket").dropDuplicates()
     grps = hist.select("grp").dropDuplicates()
-    grid = grps.crossJoin(buckets)
+    grid = grps.crossJoin(F.broadcast(buckets))
     j = (
         grid.join(cur, ["grp", "bucket"], "left")
         .join(F.broadcast(base), "bucket", "left")

@@ -92,7 +92,14 @@ for k in range(rounds):
     token = sync / f"turn_{{cpus}}_{{k}}"
     while not token.exists():
         time.sleep(0.2)
-    res = {{"t_small": run(n_small), "t_big": run(n_big)}}
+    # untimed primer: the first run after minutes of idle-polling is
+    # penalized several-fold on this host (parked JIT/GC/page state) —
+    # measure the woken steady state, twice per size per turn
+    run(n_small)
+    res = {{"t_small": [], "t_big": []}}
+    for _ in range(2):
+        res["t_small"].append(run(n_small))
+        res["t_big"].append(run(n_big))
     (sync / f"done_{{cpus}}_{{k}}").write_text(json.dumps(res))
 
 (sync / f"result_{{cpus}}").write_text(json.dumps({{
@@ -225,8 +232,8 @@ def main() -> None:
     ratio = N4_CPUS / N_CPUS
 
     def level_stats(cpus: int) -> dict:
-        ts = [t["t_small"] for t in turns[cpus]]
-        tb = [t["t_big"] for t in turns[cpus]]
+        ts = [x for t in turns[cpus] for x in t["t_small"]]
+        tb = [x for t in turns[cpus] for x in t["t_big"]]
         return {
             **meta[cpus],
             "t_small": ts,
@@ -241,14 +248,12 @@ def main() -> None:
     raw_lo, raw_hi = n_big / lo["t_big_min"], n_big / hi["t_big_min"]
     eff_marginal = marg_hi / marg_lo / ratio
     eff_raw = raw_hi / raw_lo / ratio
-    # per-round efficiency (paired turns) for dispersion
+    # per-round efficiency (paired turns, min within turn) for dispersion
+    def _m(t):
+        return min(t["t_big"]) - min(t["t_small"])
+
     per_round = [
-        round(
-            (dn / (b["t_big"] - b["t_small"]))
-            / (dn / (a["t_big"] - a["t_small"]))
-            / ratio,
-            3,
-        )
+        round((dn / _m(b)) / (dn / _m(a)) / ratio, 3)
         for a, b in zip(turns[N_CPUS], turns[N4_CPUS])
     ]
     membw_ceiling = min(
