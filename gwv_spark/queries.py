@@ -46,13 +46,27 @@ def q(name: str, oracle: Callable[[str], str] | None = None):
     return deco
 
 
+def _par_floor(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Input-parallelism floor: a small-SF table is one parquet file =
+    ONE scan partition, so every per-row expression (tokenize, shingle,
+    hash) runs single-task no matter how many cores exist.  Repartition
+    up to the session's parallelism iff the scan is below it — at real
+    scale the input already has >= that many splits and this is a no-op,
+    so no shuffle is added on the 100 TB path.  Results are partition-
+    agnostic (every registered query is an aggregation/join)."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _par_floor(spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def synth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_corpus_for_sf_dir(sf_dir)
-    return spark.read.parquet(str(d / "documents.parquet"))
+    return _par_floor(spark, spark.read.parquet(str(d / "documents.parquet")))
 
 
 def synth_docs_sql(sf_dir: str) -> str:
