@@ -167,25 +167,24 @@ def width(ctx: RuleContext) -> DataFrame:
     # there; we drop the line
     sp = sp.where((F.col("elem_pre.typ") == "S") | F.col("media_ref").isNotNull())
 
-    # '-halfwidth' sibling existence probe (width.py:136) — only PART
-    # spans consult it, so only they enter the join; stroke spans (the
-    # bulk) bypass the shuffle entirely
-    probe = ctx.docs.select(F.col("doc_id").alias("__hw")).withColumn(
-        "has_hw", F.lit(True)
+    # '-halfwidth' sibling existence probe (width.py:136): the probed
+    # key is media_ref + '-halfwidth', so only doc_ids ENDING in
+    # '-halfwidth' can ever match — filter the probe dim down to those
+    # and broadcast it.  One broadcast left join over all spans (stroke
+    # spans have NULL media_ref → NULL key → no match, exactly the
+    # wanted semantics), no shuffle, and the heavy per-span element
+    # expressions are evaluated once instead of once per stroke/part
+    # branch of a union.
+    probe = (
+        ctx.docs.where(F.col("doc_id").endswith("-halfwidth"))
+        .select(F.col("doc_id").alias("__hw"))
+        .withColumn("has_hw", F.lit(True))
     )
-    strokes_sp = sp.where(F.col("elem_pre.typ") == "S").withColumn(
-        "has_hw", F.lit(None).cast("boolean")
-    )
-    parts_sp = (
-        sp.where(F.col("elem_pre.typ") == "P")
-        .join(
-            probe,
-            F.concat(F.col("media_ref"), F.lit("-halfwidth")) == F.col("__hw"),
-            "left",
-        )
-        .drop("__hw")
-    )
-    sp = strokes_sp.unionByName(parts_sp)
+    sp = sp.join(
+        F.broadcast(probe),
+        F.concat(F.col("media_ref"), F.lit("-halfwidth")) == F.col("__hw"),
+        "left",
+    ).drop("__hw")
 
     # finalize per-span (a, b) where computable without running state
     is_part = F.col("elem_pre.typ") == "P"
