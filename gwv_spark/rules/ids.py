@@ -33,20 +33,36 @@ _SURROUND = ("u2ff4", "u2ff5", "u2ff6", "u2ff7", "u2ff8", "u2ff9", "u2ffa", "u2f
 
 @rule("ids")
 def ids(ctx: RuleContext) -> DataFrame:
-    d = ctx.docs.where(F.col("category") == "ids").select(
-        "doc_id", "entity", "is_alias"
+    d0 = ctx.docs.where(F.col("category") == "ids").select(
+        "doc_id", "entity", "is_alias", "spans"
     )
     # existence-checked entity spans (validatorctx.py:32-37): the
-    # precomputed ``entity`` column already falls back to the doc
-    # itself, so ONE equi join fetches the right spans either way
+    # precomputed ``entity`` column falls back to the doc itself, so a
+    # doc with entity == doc_id already CARRIES its entity spans — no
+    # join, no shuffle.  Only alias docs (entity != doc_id, a small
+    # minority of the ids category) fetch the target's spans via the
+    # equi join; that branch's left side is tiny, so AQE broadcasts it
+    # and the full-corpus right side never shuffles.
+    self_d = d0.where(F.col("entity") == F.col("doc_id")).withColumn(
+        "espans", F.col("spans")
+    )
     ent_spans = ctx.docs.select(
         F.col("doc_id").alias("entity"), F.col("spans").alias("__ent_spans")
     )
-    d = (
-        d.join(ent_spans, "entity")
+    # explicit broadcast of the alias side: left to AQE, both SMJ inputs
+    # materialize their shuffles before the runtime conversion decision,
+    # so the full corpus would still shuffle on entity.  Alias ids docs
+    # are a domain-bounded sliver (aliases OF ids expressions); if that
+    # ever outgrows broadcast limits, drop the hint and this degrades to
+    # the plain co-partitioned SMJ, still correct.
+    alias_d = (
+        ent_spans.join(
+            F.broadcast(d0.where(F.col("entity") != F.col("doc_id"))), "entity"
+        )
         .withColumn("espans", F.col("__ent_spans"))
         .drop("__ent_spans")
     )
+    d = self_d.unionByName(alias_d).drop("spans")
 
     first_text = F.get(F.col("espans"), 0)["text"]
     fd = parse.int_data(first_text)
