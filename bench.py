@@ -119,6 +119,22 @@ def main() -> None:
     best_sustained = min(big_sustained, conc_sustained)
 
     total = round(sum(timings.values()), 3)
+    # surface the N->4N scaling evidence measured by tools/scaling_bench.py
+    # (the north-rule criterion) alongside the timing record
+    scaling = {}
+    scaling_path = Path(__file__).resolve().parent / "BENCH_scaling.json"
+    if scaling_path.exists():
+        try:
+            sc = json.loads(scaling_path.read_text())
+            scaling = {
+                "scaling_efficiency_marginal_n_to_4n": sc["scaling_efficiency"]["marginal"],
+                "scaling_efficiency_raw_n_to_4n": sc["scaling_efficiency"]["raw_total"],
+                "scaling_hardware_membw_ceiling": sc["scaling_efficiency"].get(
+                    "hardware_membw_ceiling"
+                ),
+            }
+        except Exception:
+            pass
     print(
         json.dumps(
             {
@@ -128,6 +144,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": CPUS,
+                **scaling,
                 "validate_docs_per_sec": round(big_n / best_sustained, 1),
                 "validate_docs_per_sec_fused": round(big_n / big_sustained, 1),
                 "validate_docs_per_sec_concurrent": round(
