@@ -135,13 +135,20 @@ def entity_ref(gdata: Column) -> Column:
 
 
 def has_transform(spans: Column) -> Column:
-    """True iff any meta line 0:97/98/99:... is present (kagedata.py:51-57)."""
+    """True iff any meta line 0:97/98/99:... is present (kagedata.py:51-57).
+
+    The per-line predicate is coalesced to FALSE: an unparsable stroke
+    type makes ``kage_int(...) == 0`` NULL, and under SQL three-valued
+    logic a NULL element turns the whole ``exists`` NULL — which a
+    ``~has_transform`` gate then silently drops.  The reference's
+    ``None == 0`` is plain False (kagedata.py:51-57)."""
     def _line_is_transform(s: Column) -> Column:
         cols = line_cols(s["text"])
-        return (
+        return F.coalesce(
             (F.size(cols) >= 2)
             & (kage_int(col_at(cols, 0)) == 0)
-            & kage_int(col_at(cols, 1)).isin(97, 98, 99)
+            & kage_int(col_at(cols, 1)).isin(97, 98, 99),
+            F.lit(False),
         )
 
     return F.exists(spans, _line_is_transform)

@@ -108,7 +108,11 @@ def _geom_records(seed: int, n: int):
         elif r < 0.40:  # T design
             name = f"twedu-f{seed}-{i}"
         elif r < 0.50:  # hikanji (dup exact-thresholds; corner skips)
-            name = f"u{0x00C0 + i % 0x30:04x}"
+            # unique per i: u00c0.. stays in non-kanji (Latin) space for
+            # any corpus size here.  ``i % 0x30`` collided names across
+            # records — run_reference's dict keeps the LAST record while
+            # the engine DataFrame keeps both rows, a false divergence.
+            name = f"u{0x00C0 + i:04x}"
         else:
             name = f"gfuzz{seed}-{i}"
         lines = _box_lines(rng) if rng.random() < 0.35 else _stroke_lines(rng)
