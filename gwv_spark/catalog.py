@@ -65,11 +65,18 @@ def snapshot_id(spark: SparkSession, ref: str) -> str:
         # let --resume mix state across corpus versions).
         try:
             files = sorted(spark.table(ref).inputFiles())
-            n = spark.table(ref).count()
+            # file size + mtime from the FileSystem status: content-
+            # sensitive (an in-place rewrite reusing the same file names
+            # changes both) and metadata-only — no count() job per call
+            jvm = spark.sparkContext._jvm
+            hconf = spark.sparkContext._jsc.hadoopConfiguration()
             h = hashlib.sha256()
             for f in files:
-                h.update(f.encode() + b"\n")
-            h.update(str(n).encode())
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                st = p.getFileSystem(hconf).getFileStatus(p)
+                h.update(
+                    f"{f}\x1f{st.getLen()}\x1f{st.getModificationTime()}\n".encode()
+                )
             return "tablefp:" + h.hexdigest()[:16]
         except Exception:
             raise ValueError(

@@ -26,7 +26,7 @@ from pathlib import Path
 
 DEFAULT_SEED = 42
 CORPUS_TS = 1700000000.0
-GEN_VERSION = 7  # bump when gen_record changes → fresh .synth cache dirs
+GEN_VERSION = 9  # bump when gen_record changes → fresh .synth cache dirs
 
 # gdata of a glyph that is itself deprecated: aliases of 'do-not-use'
 # (GlyphWiki convention; donotuse.py:27-34 checks for the literal string).
@@ -223,7 +223,7 @@ def gen_record(idx: int, n_docs: int, seed: int = DEFAULT_SEED):
         name = f"geom-{idx}"
         if idx % 9 == 0:  # some under G/T-design names (corner.py:510-511,803-828)
             name = f"zihai-{idx % 1000000:06d}" if (idx // 20) % 2 == 0 else f"twedu-a{idx:05d}"
-        g = rng.randrange(8)
+        g = rng.randrange(12)
         if g == 0:  # near-duplicate horizontal pair (dup.py:101-118)
             y = rng.randrange(30, 170)
             d = rng.randrange(0, 4)
@@ -266,7 +266,7 @@ def gen_record(idx: int, n_docs: int, seed: int = DEFAULT_SEED):
                 f"1:0:0:{x}:{y - 40}:{x}:{y + 60}"
                 f"$1:0:{tt}:{x + jx}:{y}:{x + 70}:{y}"
             )
-        else:  # box 口 with jittered corners (preemption / ZH-corner food)
+        elif g == 7:  # box 口 with jittered corners (preemption / ZH-corner food)
             x, y = rng.randrange(40, 90), rng.randrange(40, 90)
             w, h = rng.randrange(50, 90), rng.randrange(50, 90)
             j = lambda: rng.randrange(-3, 4)  # noqa: E731
@@ -275,6 +275,39 @@ def gen_record(idx: int, n_docs: int, seed: int = DEFAULT_SEED):
                 f"$1:22:23:{x + w + j()}:{y + j()}:{x + w}:{y + h}"
                 f"$1:2:2:{x + j()}:{y}:{x + w}:{y + j()}"
                 f"$1:2:2:{x + j()}:{y + h + j()}:{x + w + j()}:{y + h}"
+            )
+        elif g == 8:  # near-duplicate curve pair (dup code 2, dup.py:136-143)
+            cs = [rng.randrange(20, 170) for _ in range(6)]
+            d = [rng.randrange(0, 5) for _ in range(6)]  # ≤3 hits, >3 misses
+            cs2 = [c + dd for c, dd in zip(cs, d)]
+            gdata = (
+                "2:0:7:" + ":".join(map(str, cs))
+                + "$2:0:7:" + ":".join(map(str, cs2))
+            )
+        elif g == 9:  # near-duplicate double-curve pair (dup code 3)
+            cs = [rng.randrange(20, 160) for _ in range(8)]
+            d = [rng.randrange(0, 4) for _ in range(8)]
+            cs2 = [c + dd for c, dd in zip(cs, d)]
+            gdata = (
+                "6:7:8:" + ":".join(map(str, cs))
+                + "$6:7:8:" + ":".join(map(str, cs2))
+            )
+        elif g == 10:  # same-name part pair (dup code 99, dup.py:204-206)
+            k = rng.randrange(max(1, _count_in_bucket(n_docs, 0)))
+            target = f"koseki-{_kth_idx_in_bucket(k, 0) % 900000:06d}"
+            x, y = rng.randrange(10, 60), rng.randrange(10, 60)
+            w, h = rng.randrange(80, 130), rng.randrange(80, 130)
+            dx, dy = rng.randrange(0, 6), rng.randrange(0, 6)
+            gdata = (
+                f"99:0:0:{x}:{y}:{x + w}:{y + h}:{target}"
+                f"$99:0:0:{x + dx}:{y + dy}:{x + w + dx}:{y + h + dy}:{target}"
+            )
+        else:  # g == 11: part-position mark pair (dup code 9, st=9)
+            x, y = rng.randrange(20, 160), rng.randrange(20, 160)
+            dx, dy = rng.randrange(0, 6), rng.randrange(0, 6)
+            gdata = (
+                f"9:0:0:{x}:{y}:{x + 20}:{y + 20}"
+                f"$9:0:0:{x + dx}:{y + dy}:{x + 20 + dx}:{y + 20 + dy}"
             )
     else:  # 5%: malformed spans (numexp / illegal food)
         name = f"bad-{idx}"

@@ -1280,17 +1280,20 @@ def is_hikanji_expr() -> str:
     )
 
 
-def dup_straight_sql(parquet_expr: str) -> str:
-    """Straight-segment duplicate scan — dup codes 10 (yoko) / 11 (tate).
+def dup_sql(parquet_expr: str) -> str:
+    """Full dup-rule oracle — all six codes with single-error precedence.
 
-    Full relational mirror of dup.py:61-118 + the 150-166 dispatch for
-    stroke types 1/3/4/7: per-line segment decomposition, axis bucketing
-    with signed distance-to-origin and angle, stable (dist, insertion)
-    sort, banded forward scan, FIRST overlapping near-parallel pair per
-    document (yoko first, tate only when no yoko pair exists).  Codes
-    2/3/99/9 (curves/parts) stay covered by the pandas-UDF rule and the
-    fuzz differential; this oracle drives the geometry-heavy straight
-    path end to end in SQL.
+    Relational mirror of dup.py:61-211: per-line segment decomposition
+    for stroke types 1/3/4/7 with axis bucketing, signed
+    distance-to-origin and angle, stable (dist, insertion) sort, banded
+    forward scan, first overlapping near-parallel pair (codes 10 yoko /
+    11 tate); PLUS the neighbor-scan codes — curves (2), double curves
+    (3), same-name part groups in first-occurrence order (99), part
+    position marks (9) — each a stable sort by first coordinate with
+    adjacent-only comparison (dup_coords, dup.py:136-143), zip-truncated
+    to the shorter coordinate list.  One violation per document picked
+    by the reference precedence 10 > 11 > 2 > 3 > 99 > 9
+    (SingleErrorValidator, dup.py:150-211).
     """
     kc = kint("c")
     return f"""
@@ -1387,18 +1390,97 @@ def dup_straight_sql(parquet_expr: str) -> str:
         AND abs(a.angle - b.angle) <= 1.0/60.0
         AND b.t0 < a.t1 AND a.t0 < b.t1
     ),
-    fy AS (SELECT doc_id, off1, text1, off2, text2, amount FROM yp WHERE pick = 1),
-    ft AS (SELECT doc_id, off1, text1, off2, text2, amount FROM tp
-           WHERE pick = 1 AND doc_id NOT IN (SELECT doc_id FROM fy))
-    SELECT doc_id, '10' AS errcode,
-           off1::VARCHAR || ':' || text1 || '|' || off2::VARCHAR || ':' || text2
-           || '|' || amount::VARCHAR AS params
-    FROM fy
-    UNION ALL
-    SELECT doc_id, '11' AS errcode,
-           off1::VARCHAR || ':' || text1 || '|' || off2::VARCHAR || ':' || text2
-           || '|' || amount::VARCHAR AS params
-    FROM ft
+    pairsok AS (
+      -- lines whose every (x,y) coordinate pair parsed (coords() is None
+      -- when any member is — geom.py / kagedata.py:100-110)
+      SELECT * FROM L2
+      WHERE len(list_filter(range(1, np + 1),
+            i -> d[2 + 2 * i] IS NULL OR d[3 + 2 * i] IS NULL)) = 0
+    ),
+    nb AS (
+      -- neighbor-scan elements: (category, coordinate vector) per line,
+      -- mirroring the dup.py:150-211 dispatch slices
+      SELECT doc_id, hikanji, off, text, 'c' AS cat,
+             CAST(NULL AS VARCHAR) AS pname,
+             list_transform(range(1, LEAST(2 * np, 6) + 1), i -> d[3 + i]) AS cs
+      FROM pairsok WHERE st = 2 AND np >= 1
+      UNION ALL
+      SELECT doc_id, hikanji, off, text, 'c', NULL,
+             list_transform(range(3, LEAST(2 * np, 8) + 1), i -> d[3 + i])
+      FROM pairsok WHERE st = 7 AND np >= 2
+      UNION ALL
+      SELECT doc_id, hikanji, off, text, 'c2', NULL,
+             list_transform(range(1, LEAST(2 * np, 8) + 1), i -> d[3 + i])
+      FROM pairsok WHERE st = 6 AND np >= 1
+      UNION ALL
+      SELECT doc_id, hikanji, off, text, 'pp', NULL,
+             list_transform(range(1, LEAST(2 * np, 4) + 1), i -> d[3 + i])
+      FROM pairsok WHERE st = 9 AND np >= 1
+      UNION ALL
+      -- part lines: coords are d[4..7] only; the quoted name (col 8) is
+      -- the group key (kagedata.py:70-78, dup.py:204-206)
+      SELECT doc_id, hikanji, off, text, 'p',
+             CASE WHEN len(string_split(text, ':')) >= 8
+                  THEN string_split(text, ':')[8] END,
+             [d[4], d[5], d[6], d[7]]
+      FROM L2 WHERE st = 99 AND len(d) >= 7
+        AND d[4] IS NOT NULL AND d[5] IS NOT NULL
+        AND d[6] IS NOT NULL AND d[7] IS NOT NULL
+    ),
+    nbr AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY doc_id, cat, pname
+                           ORDER BY cs[1], off) AS rn,
+        MIN(off) OVER (PARTITION BY doc_id, cat, pname) AS gmin
+      FROM nb
+    ),
+    nph AS (
+      -- adjacent-only comparison after the stable sort; zip truncates to
+      -- the shorter list (dup.py:136-143)
+      SELECT a.doc_id, a.cat, a.gmin, a.rn,
+             a.off AS off1, a.text AS text1, b.off AS off2, b.text AS text2
+      FROM nbr a JOIN nbr b
+        ON a.doc_id = b.doc_id AND a.cat = b.cat
+       AND a.pname IS NOT DISTINCT FROM b.pname AND b.rn = a.rn + 1
+      WHERE len(list_filter(range(1, LEAST(len(a.cs), len(b.cs)) + 1),
+            i -> abs(a.cs[i] - b.cs[i]) >
+                 (CASE WHEN a.hikanji THEN 0 ELSE 3 END))) = 0
+    ),
+    nfirst AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, cat, gmin
+                                   ORDER BY rn) AS pick1
+      FROM nph
+    ),
+    ngrp AS (
+      -- parts: first-occurrence group order == ascending min(offset)
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, cat
+                                   ORDER BY gmin) AS pick2
+      FROM nfirst WHERE pick1 = 1
+    ),
+    cand AS (
+      SELECT doc_id, '10' AS errcode,
+             off1::VARCHAR || ':' || text1 || '|' || off2::VARCHAR || ':'
+             || text2 || '|' || amount::VARCHAR AS params, 0 AS prio
+      FROM yp WHERE pick = 1
+      UNION ALL
+      SELECT doc_id, '11',
+             off1::VARCHAR || ':' || text1 || '|' || off2::VARCHAR || ':'
+             || text2 || '|' || amount::VARCHAR, 1
+      FROM tp WHERE pick = 1
+      UNION ALL
+      SELECT doc_id,
+             CASE cat WHEN 'c' THEN '2' WHEN 'c2' THEN '3'
+                      WHEN 'p' THEN '99' ELSE '9' END,
+             off1::VARCHAR || ':' || text1 || '|' || off2::VARCHAR || ':'
+             || text2,
+             CASE cat WHEN 'c' THEN 2 WHEN 'c2' THEN 3
+                      WHEN 'p' THEN 4 ELSE 5 END
+      FROM ngrp WHERE pick2 = 1
+    )
+    SELECT doc_id, errcode, params FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY prio) AS rp
+      FROM cand
+    ) WHERE rp = 1
     """
 
 

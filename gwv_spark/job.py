@@ -90,6 +90,13 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     owns_session = spark is None
     if owns_session:
         spark = SparkSession.builder.appName("gwv_spark-validate").getOrCreate()
+    # Resume correctness REQUIRES dynamic partition overwrite: with the
+    # default 'static' mode, mode('overwrite').partitionBy('rule_id')
+    # would delete the whole violations directory — including partitions
+    # of rules skipped by --resume — while the ledger still marks them
+    # complete.  Set it explicitly so an externally configured cluster
+    # session can't silently lose resumed rules' violations.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     from gwv_spark import catalog
 

@@ -55,7 +55,12 @@ def _par_floor(spark: SparkSession, df: DataFrame) -> DataFrame:
     so no shuffle is added on the 100 TB path.  Results are partition-
     agnostic (every registered query is an aggregation/join)."""
     n = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    # file count, not .rdd.getNumPartitions(): touching .rdd forces the
+    # Python<->JVM RDD conversion path on every call.  A scan with >= n
+    # files already has >= n splits; a scan with fewer may still split
+    # large files by maxPartitionBytes, in which case this repartition is
+    # a cheap no-op-shaped round-robin only taken at tiny SF.
+    if len(df.inputFiles()) < n:
         return df.repartition(n)
     return df
 
@@ -301,39 +306,39 @@ def stats_uniqueness_orders(spark, sf_dir):
 
 
 @q(
-    "stats_ri_lineitem_orders",
+    "stats_ri_lineitem",
     lambda sf: """
-    WITH orphans AS (
-      SELECT l.* FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WITH o1 AS (
+      SELECT l.l_orderkey AS k FROM lineitem l
+      LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
       WHERE o.o_orderkey IS NULL
-    )
-    SELECT COALESCE(COUNT(*), 0) AS n_orphan_rows,
-           COALESCE(COUNT(DISTINCT l_orderkey), 0) AS n_orphan_keys
-    FROM orphans
-    """,
-)
-def stats_ri_lineitem_orders(spark, sf_dir):
-    return stats.ri_summary(
-        T(spark, sf_dir, "lineitem"), "l_orderkey", T(spark, sf_dir, "orders"), "o_orderkey"
-    )
-
-
-@q(
-    "stats_ri_lineitem_part",
-    lambda sf: """
-    WITH orphans AS (
-      SELECT l.* FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    o2 AS (
+      SELECT l.l_partkey AS k FROM lineitem l
+      LEFT JOIN part p ON l.l_partkey = p.p_partkey
       WHERE p.p_partkey IS NULL
     )
-    SELECT COALESCE(COUNT(*), 0) AS n_orphan_rows,
-           COALESCE(COUNT(DISTINCT l_partkey), 0) AS n_orphan_keys
-    FROM orphans
+    SELECT 'orders' AS parent,
+           COALESCE(COUNT(*), 0) AS n_orphan_rows,
+           COALESCE(COUNT(DISTINCT k), 0) AS n_orphan_keys
+    FROM o1
+    UNION ALL
+    SELECT 'part', COALESCE(COUNT(*), 0), COALESCE(COUNT(DISTINCT k), 0)
+    FROM o2
     """,
 )
-def stats_ri_lineitem_part(spark, sf_dir):
-    return stats.ri_summary(
-        T(spark, sf_dir, "lineitem"), "l_partkey", T(spark, sf_dir, "part"), "p_partkey"
-    )
+def stats_ri_lineitem(spark, sf_dir):
+    """Referential integrity of lineitem against both parents in one
+    result (one row per parent); each leg is the same left-anti probe
+    with deduped parent keys (stats.ri_summary)."""
+    li = T(spark, sf_dir, "lineitem")
+    a = stats.ri_summary(
+        li, "l_orderkey", T(spark, sf_dir, "orders"), "o_orderkey"
+    ).select(F.lit("orders").alias("parent"), "n_orphan_rows", "n_orphan_keys")
+    b = stats.ri_summary(
+        li, "l_partkey", T(spark, sf_dir, "part"), "p_partkey"
+    ).select(F.lit("part").alias("parent"), "n_orphan_rows", "n_orphan_keys")
+    return a.unionByName(b)
 
 
 @q(
@@ -1311,30 +1316,20 @@ def gwv_corpus_drift_q(spark, sf_dir):
     return stats.snapshot_psi(cur_snap, base_snap)
 
 
-@q("gwv_dup_violations")  # rows-only: per-doc sorted-scan geometry UDF (dup.py:146-211)
-def gwv_dup_q(spark, sf_dir):
-    from gwv_spark import engine
-
-    v = engine.run_rules(_rule_ctx(spark, sf_dir), ["dup"])
-    return v.select("doc_id", "errcode", F.col("sortkey").alias("detail_key"))
-
-
 @q(
-    "gwv_dup_straight_violations",
-    lambda sf: __import__("gwv_spark.gwv_sql", fromlist=["x"]).dup_straight_sql(
+    "gwv_dup_violations",
+    lambda sf: __import__("gwv_spark.gwv_sql", fromlist=["x"]).dup_sql(
         synth_docs_sql(sf)
     ),
 )
-def gwv_dup_straight_q(spark, sf_dir):
-    """The dup rule's straight-segment path (codes 10/11) with full
-    params, hash-checked against an independent relational oracle
-    (gwv_sql.dup_straight_sql) — the curve/part codes stay covered by the
-    reference fuzz differential."""
+def gwv_dup_q(spark, sf_dir):
+    """The full dup rule — all six codes (10/11 straight, 2/3 curves,
+    99 parts, 9 position marks) with full params and the reference's
+    single-error precedence, hash-checked against an independent
+    relational oracle (gwv_sql.dup_sql)."""
     from gwv_spark import engine
 
-    v = engine.run_rules(_rule_ctx(spark, sf_dir), ["dup"]).where(
-        F.col("errcode").isin("10", "11")
-    )
+    v = engine.run_rules(_rule_ctx(spark, sf_dir), ["dup"])
     params = F.array_join(
         F.transform(F.col("detail"), lambda x: F.substring(x, 2, 1 << 30)), "|"
     )

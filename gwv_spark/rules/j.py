@@ -103,10 +103,14 @@ def _setup_dims(ctx: RuleContext):
         .dropDuplicates()
         .collect()
     )
+    # genuinely empty frames when the config has no entries — an
+    # empty-string sentinel row would introduce a '' join key that a
+    # malformed kage line's empty media_ref could match, fabricating a
+    # violation the reference ('' not in config) never reports
     no_use = ctx.spark.createDataFrame(
-        no_use_local or [("", "")], "banned STRING, use STRING"
+        no_use_local, "banned STRING, use STRING"
     )
-    no_apply = ctx.spark.createDataFrame(no_apply_local or [("",)], "na_part STRING")
+    no_apply = ctx.spark.createDataFrame(no_apply_local, "na_part STRING")
     ctx.dims[memo_key] = (no_use, no_apply)
     return no_use, no_apply
 

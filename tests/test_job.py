@@ -111,3 +111,65 @@ def test_ignore_error_quarantine_wiring(spark, tmp_path):
     a = engine.run_rules(strict, ["corner", "dup"])
     b = engine.run_rules(lenient, ["corner", "dup"])
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_interrupted_run_resume_equals_full_run(spark, tmp_path):
+    """North-rule resumability, end to end: a run that completed only
+    half its rules before dying, resumed with --resume, must land on the
+    byte-identical violations + verdicts of an uninterrupted run — and
+    must NOT lose the already-written partitions to the overwrite (the
+    static-mode failure ADVICE r2 flagged; job.main now forces dynamic
+    partition overwrite)."""
+    data_dir = ensure_corpus(tmp_path / "corpus", 300)
+    inp = str(data_dir / "documents.parquet")
+    rules = ["numexp", "delquote", "order", "skew"]
+
+    # ground truth: uninterrupted run over all four rules
+    job.main(["--input", inp, "--output", str(tmp_path / "full"),
+              "--rules", *rules, "--n-buckets", "16"], spark=spark)
+    full = spark.read.parquet(str(tmp_path / "full" / "violations"))
+
+    # interrupted run: only two rules completed before the "crash"
+    out = tmp_path / "resumed"
+    job.main(["--input", inp, "--output", str(out),
+              "--rules", "numexp", "delquote", "--n-buckets", "16"], spark=spark)
+    # resume with the full rule list: the two complete rules are skipped
+    job.main(["--input", inp, "--output", str(out),
+              "--rules", *rules, "--n-buckets", "16", "--resume"], spark=spark)
+
+    resumed = spark.read.parquet(str(out / "violations"))
+    assert resumed.exceptAll(full).count() == 0
+    assert full.exceptAll(resumed).count() == 0
+    ledger = spark.read.parquet(str(out / "ledger"))
+    marked = {r["rule_id"] for r in ledger.where("partition_id = -1").collect()}
+    assert marked == set(rules)
+
+
+def test_bucket_grain_remaining_filter(spark, tmp_path):
+    """Ledger.remaining_filter at bucket grain: with half the buckets
+    marked complete, only the other half's violations remain, and
+    written ∪ remaining == the full violation set."""
+    from pyspark.sql import functions as F
+
+    from gwv_spark import engine
+
+    data_dir = ensure_corpus(tmp_path / "corpus", 300)
+    docs = spark.read.parquet(str(data_dir / "documents.parquet"))
+    ctx = engine.make_context(spark, docs)
+    full = engine.run_rules(ctx, ["numexp"]).cache()
+    n_buckets = 16
+    bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
+
+    ledger = engine.Ledger(spark, str(tmp_path / "ledger"))
+    done = spark.createDataFrame(
+        [("numexp", b) for b in range(n_buckets // 2)],
+        "rule_id STRING, partition_id INT",
+    )
+    ledger.mark(done)
+
+    remaining = ledger.remaining_filter(full, n_buckets=n_buckets)
+    assert remaining.where(bucket < n_buckets // 2).count() == 0
+    already = full.where(bucket < n_buckets // 2)
+    merged = already.unionByName(remaining)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
