@@ -208,35 +208,62 @@ def illegal(ctx: RuleContext) -> DataFrame:
     # ---- whole-record codes: a narrow higher-order-function pass over
     # docs.spans — per-doc reductions need NO shuffle (the earlier
     # groupBy(doc_id) over exploded spans re-shuffled the whole corpus
-    # just to regroup rows that were already co-located per document)
-    d_arr = F.transform(F.col("spans"), lambda s: parse.int_data(s["text"]))
-    per_doc = ctx.docs.where(F.col("category") != "user-owned").select(
-        "doc_id",
-        "is_alias",
-        "n_spans",
-        F.exists(d_arr, lambda d: _span_alias_class(d) == "F").alias("any_f"),
-        F.size(F.filter(d_arr, lambda d: _span_alias_class(d) == "Q")).alias("n_q"),
-        F.forall(d_arr, _span_blank_ok).alias("all_blank"),
-        (F.element_at(F.col("spans"), 1)["text"] == "0:-1:-1:-1").alias("first_blank"),
-    )
-    exact_blank = (F.col("n_spans") == 1) & F.col("first_blank")
-    rec = per_doc.select(
-        "doc_id",
-        ((~F.col("is_alias")) & (~F.col("any_f")) & (F.col("n_q") == 1)).alias(
-            "is_alias_like"
+    # just to regroup rows that were already co-located per document).
+    #
+    # Expression-sharing note: a Column referenced N times is inlined N
+    # times (CollapseProject + predicate pushdown collapse intermediate
+    # Projects, and the optimizer does not CSE across HOF boundaries), so
+    # the earlier exists/filter/forall formulation re-ran the full
+    # int_data parse 3x per span and the class twice.  Here every shared
+    # value is bound ONCE as a lambda variable of a higher-order
+    # function, which is a structural guarantee of single evaluation:
+    #   parse   — inner transform (once per span)
+    #   class   — struct fields of the flags transform (once per span)
+    #   fold    — ONE aggregate() producing (any_f, n_q, all_blank)
+    #   verdict — transform over a 1-element array as a let-binding, so
+    #             the fold result is a lambda variable, evaluated once
+    # The two record codes come out of one explode — one pass per doc,
+    # no .where branches for pushdown to duplicate into.
+    da = F.transform(F.col("spans"), lambda s: parse.int_data(s["text"]))
+    fl = F.transform(
+        da,
+        lambda dd: F.struct(
+            _span_alias_class(dd).alias("cls"), _span_blank_ok(dd).alias("bok")
         ),
-        (F.col("all_blank") & ~exact_blank).alias("is_blank_like"),
     )
-    alias_v = shape(
-        rec.where(F.col("is_alias_like")),
-        "illegal",
-        F.lit("7"),
-        F.array().cast("array<string>"),
+    folded = F.aggregate(
+        fl,
+        F.struct(
+            F.lit(False).alias("any_f"),
+            F.lit(0).alias("n_q"),
+            F.lit(True).alias("all_blank"),
+        ),
+        lambda a, f: F.struct(
+            (a["any_f"] | (f["cls"] == F.lit("F"))).alias("any_f"),
+            (a["n_q"] + (f["cls"] == F.lit("Q")).cast("int")).alias("n_q"),
+            (a["all_blank"] & f["bok"]).alias("all_blank"),
+        ),
     )
-    blank_v = shape(
-        rec.where(F.col("is_blank_like")),
-        "illegal",
-        F.lit("8"),
-        F.array().cast("array<string>"),
+    exact_blank = (F.col("n_spans") == 1) & (
+        F.element_at(F.col("spans"), 1)["text"] == "0:-1:-1:-1"
     )
-    return line_v.unionByName(alias_v).unionByName(blank_v)
+    codes = F.flatten(
+        F.transform(
+            F.array(folded),  # let-bind the fold result
+            lambda t: F.array_compact(
+                F.array(
+                    F.when(
+                        (~F.col("is_alias")) & (~t["any_f"]) & (t["n_q"] == 1),
+                        F.lit("7"),
+                    ),
+                    F.when(t["all_blank"] & ~exact_blank, F.lit("8")),
+                )
+            ),
+        )
+    )
+    rec_v = (
+        ctx.docs.where(F.col("category") != "user-owned")
+        .select("doc_id", F.explode(codes).alias("ec"))
+    )
+    record_v = shape(rec_v, "illegal", F.col("ec"), F.array().cast("array<string>"))
+    return line_v.unionByName(record_v)

@@ -76,7 +76,7 @@ def _setup_dims(ctx: RuleContext):
         (no_use, use, i)
         for i, (use, no_uses) in enumerate(jv["no_use_part"].items())
         for no_use in no_uses
-    ] or [("", "", 0)]
+    ]
     no_use_seeds = ctx.spark.createDataFrame(
         no_use_rows, "part STRING, use STRING, idx INT"
     )
