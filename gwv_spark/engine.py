@@ -83,10 +83,15 @@ def run_rules(ctx: RuleContext, rule_ids: list[str] | None = None) -> DataFrame:
     ids = [r for r in (rule_ids or ALL_RULE_IDS) if r in RULES]
     if not ids:
         return empty_violations(ctx.spark)
+    key = "__union__:" + ",".join(ids)
+    cached = ctx.plan_cache.get(key)
+    if cached is not None:
+        return cached
     out = None
     for rid in ids:
-        df = RULES[rid](ctx)
+        df = ctx.plan(rid)
         out = df if out is None else out.unionByName(df)
+    ctx.plan_cache[key] = out
     return out
 
 
@@ -106,7 +111,7 @@ def run_suite(ctx: RuleContext, rule_ids: list[str] | None = None) -> None:
 def run_rules_concurrent(
     ctx: RuleContext,
     rule_ids: list[str] | None = None,
-    workers: int = 6,
+    workers: int = 12,
     sink=None,
 ) -> None:
     """Force every rule's violation plan as its own Spark job, several in
@@ -129,8 +134,12 @@ def run_rules_concurrent(
         df.write.format("noop").mode("overwrite").save()
 
     sink = sink or _noop
+    # build (or fetch) every plan up front on the main thread: plan
+    # construction is py4j-chatty and GIL-bound, so interleaving it with
+    # the worker threads' action submissions just serializes both
+    plans = {rid: ctx.plan(rid) for rid in ids}
     with ThreadPoolExecutor(workers) as ex:
-        list(ex.map(lambda rid: sink(rid, RULES[rid](ctx)), ids))
+        list(ex.map(lambda rid: sink(rid, plans[rid]), ids))
 
 
 def parquet_sink(base_dir: str | Path):

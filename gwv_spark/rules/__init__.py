@@ -45,6 +45,19 @@ class RuleContext:
     # --ignore-error (gwv.py:28-32): quarantine per-record UDF crashes
     # as __error__ violation rows instead of failing the job
     ignore_error: bool = False
+    # Prepared-plan cache: rule_id -> built violations DataFrame.  A
+    # DataFrame is an immutable logical plan, so one build per context is
+    # sound; re-building per execution costs 0.2-0.6 s of py4j traffic
+    # PER RULE (measured: ids 0.6 s/build), which dominates the suite's
+    # fixed cost on repeated runs (long-running service / bench sustained).
+    plan_cache: dict[str, DataFrame] = field(default_factory=dict)
+
+    def plan(self, rule_id: str) -> DataFrame:
+        df = self.plan_cache.get(rule_id)
+        if df is None:
+            df = RULES[rule_id](self)
+            self.plan_cache[rule_id] = df
+        return df
 
 
 RuleFn = Callable[[RuleContext], DataFrame]
