@@ -18,6 +18,7 @@ parquet we key off the corpus fingerprint.
 from __future__ import annotations
 
 import json
+import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -113,7 +114,7 @@ def run_rules_concurrent(
     rule_ids: list[str] | None = None,
     workers: int = 12,
     sink=None,
-) -> None:
+) -> dict[str, float]:
     """Force every rule's violation plan as its own Spark job, several in
     flight at once.
 
@@ -138,8 +139,14 @@ def run_rules_concurrent(
     # construction is py4j-chatty and GIL-bound, so interleaving it with
     # the worker threads' action submissions just serializes both
     plans = {rid: ctx.plan(rid) for rid in ids}
+
+    def _timed(rid: str) -> tuple[str, float]:
+        t0 = time.monotonic()
+        sink(rid, plans[rid])
+        return rid, round(time.monotonic() - t0, 3)
+
     with ThreadPoolExecutor(workers) as ex:
-        list(ex.map(lambda rid: sink(rid, plans[rid]), ids))
+        return dict(ex.map(_timed, ids))
 
 
 def parquet_sink(base_dir: str | Path):

@@ -137,14 +137,20 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         # partitions are truncated first so a now-clean rule doesn't
         # resurrect stale violations (see _clear_rule_partitions).
         _clear_rule_partitions(spark, f"{out}/violations", rule_ids)
+        import time as _time
+
+        t_run = _time.monotonic()
         if args.exec_mode == "concurrent":
-            engine.run_rules_concurrent(
+            rule_secs = engine.run_rules_concurrent(
                 ctx, rule_ids, sink=engine.parquet_sink(f"{out}/violations")
             )
         else:
             engine.run_rules(ctx, rule_ids).write.mode("overwrite").partitionBy(
                 "rule_id"
             ).parquet(f"{out}/violations")
+            # one fused action: per-rule wall time is not separable
+            rule_secs = {}
+        total_secs = round(_time.monotonic() - t_run, 3)
 
     try:
         violations = spark.read.parquet(f"{out}/violations")
@@ -162,6 +168,35 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     )
     verdicts.write.mode("overwrite").parquet(f"{out}/verdicts")
     if rule_ids:
+        # run-metrics table (north rule: checkpoint + lineage + METRICS):
+        # one row per recomputed rule — wall seconds (per-rule under
+        # --exec-mode concurrent, total under fused) and the violation
+        # count read back from the committed output.  Appended, keyed by
+        # run_id + snapshot, so reruns/resumes accumulate an audit trail.
+        counts = {
+            r["rule_id"]: r["n"]
+            for r in violations.where(F.col("rule_id").isin(rule_ids))
+            .groupBy("rule_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        run_id = args.run_id or snapshot
+        metrics = spark.createDataFrame(
+            [
+                (
+                    run_id,
+                    snapshot,
+                    rid,
+                    float(rule_secs.get(rid, total_secs)),
+                    rule_secs.get(rid) is not None,
+                    int(counts.get(rid, 0)),
+                )
+                for rid in rule_ids
+            ],
+            "run_id STRING, snapshot STRING, rule_id STRING, "
+            "wall_s DOUBLE, per_rule_timing BOOLEAN, n_violations BIGINT",
+        )
+        metrics.write.mode("append").parquet(f"{out}/metrics")
         marks = spark.createDataFrame(
             [(rid, -1) for rid in rule_ids], "rule_id STRING, partition_id INT"
         )

@@ -3,6 +3,8 @@ and --resume skipping completed rules (north-rule lifecycle)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from gwv_spark import job
 from gwv_spark.corpus import ensure_corpus
 
@@ -32,10 +34,24 @@ def test_job_end_to_end_and_resume(spark, tmp_path):
     marked = {r["rule_id"] for r in ledger.where("partition_id = -1").collect()}
     assert marked == {"numexp", "delquote", "order"}
 
-    # resume: all three rules complete -> nothing re-marked
+    # run-metrics table: one row per recomputed rule, counts match the
+    # committed violations, wall time recorded
+    metrics = {r["rule_id"]: r for r in spark.read.parquet(str(out / "metrics")).collect()}
+    assert set(metrics) == {"numexp", "delquote", "order"}
+    vio_counts = {
+        r["rule_id"]: r["n"]
+        for r in vio.groupBy("rule_id").agg(F.count("*").alias("n")).collect()
+    }
+    for rid, row in metrics.items():
+        assert row["n_violations"] == vio_counts.get(rid, 0)
+        assert row["wall_s"] > 0
+
+    # resume: all three rules complete -> nothing re-marked, no new
+    # metrics rows appended
     job.main(args + ["--resume"], spark=spark)
     ledger2 = spark.read.parquet(str(out / "ledger"))
     assert ledger2.where("partition_id = -1").count() == 3
+    assert spark.read.parquet(str(out / "metrics")).count() == 3
 
 
 def test_job_concurrent_mode_matches_fused(spark, tmp_path):
@@ -173,3 +189,40 @@ def test_bucket_grain_remaining_filter(spark, tmp_path):
     merged = already.unionByName(remaining)
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
+
+
+def test_plan_cache_reuses_built_plans(spark, tmp_path):
+    """RuleContext.plan builds each rule's DataFrame once per context
+    (prepared-plan cache): repeat calls return the identical object, the
+    fused union is memoized per rule-id set, and a cached plan still
+    produces the same violations as a fresh build."""
+    from gwv_spark import engine
+    from gwv_spark.rules import RULES, load_all_rules
+
+    data_dir = ensure_corpus(tmp_path / "corpus", 200)
+    docs = spark.read.parquet(str(data_dir / "documents.parquet"))
+    ctx = engine.make_context(spark, docs)
+    load_all_rules()
+
+    p1 = ctx.plan("numexp")
+    p2 = ctx.plan("numexp")
+    assert p1 is p2
+
+    u1 = engine.run_rules(ctx, ["numexp", "order"])
+    u2 = engine.run_rules(ctx, ["numexp", "order"])
+    assert u1 is u2
+    # a different subset is its own cache entry, not a collision
+    u3 = engine.run_rules(ctx, ["numexp"])
+    assert u3 is not u1
+
+    fresh = RULES["numexp"](ctx.__class__(
+        spark=ctx.spark, docs=ctx.docs, spans=ctx.spans,
+        attrs=ctx.attrs, dims=ctx.dims,
+    ))
+    def key(r):
+        return (r["rule_id"], r["errcode"], r["doc_id"],
+                tuple(r["detail"] or []), r["sortkey"])
+
+    got = {key(r) for r in p1.collect()}
+    want = {key(r) for r in fresh.collect()}
+    assert got == want and len(got) > 0
