@@ -92,8 +92,15 @@ def width(ctx: RuleContext) -> DataFrame:
     ).select("doc_id", "spans")
 
     # ---- per-span effective-extent elements (line order preserved)
-    # 'd' = shared parsed int columns (derive.exploded_spans)
-    sp = ctx.spans.join(docs.select("doc_id"), "doc_id")
+    # 'd' = shared parsed int columns (derive.exploded_spans).
+    # The doc-level gates are plain columns ON the spans table
+    # (exploded_spans carries category/has_transform per span), so the
+    # gate is a pushed-down filter — joining spans against the gated doc
+    # set here would shuffle the ENTIRE spans table just to re-derive
+    # this predicate.
+    sp = ctx.spans.where(
+        (~F.col("category").isin(_SKIP_CATS)) & (~F.col("has_transform"))
+    )
     d = F.col("d")
     st = F.get(d, 0)
     dn = F.size(d)
@@ -235,7 +242,10 @@ def width(ctx: RuleContext) -> DataFrame:
     )
     folded = folded.select("doc_id", fold.alias("mm"))
 
-    d2 = docs.join(folded, "doc_id", "left")
+    # gated doc set left-joined with the fold: a doc with ZERO surviving
+    # spans still gets a verdict via the name-based overrides below.
+    # Only doc_id crosses the shuffle (spans stays behind).
+    d2 = docs.select("doc_id").join(folded, "doc_id", "left")
     name = F.col("doc_id")
     min_x = (
         F.when(_is_fullwidth_name(name), F.lit(0.0))
