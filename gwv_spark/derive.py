@@ -113,6 +113,16 @@ def prepare(documents: DataFrame) -> DataFrame:
     df = df.withColumn("category", category(F.col("doc_id")))
     df = df.withColumn("is_hikanji", is_hikanji(F.col("doc_id"), F.col("category")))
     df = df.withColumn("has_transform", parse.has_transform(F.col("spans")))
+    # parsed KAGE int columns for EVERY span, materialized once per doc
+    # (kagedata.py:65-80 parses each line once into KageLine.data; this
+    # is that stored parse).  Whole-record rules (illegal codes 7/8) fold
+    # over this instead of re-running the ~10-column kageInt parse per
+    # query; exploded_spans reuses it per-span.  On a real deployment
+    # this is a stored column of the Iceberg spans table written at
+    # ingest.
+    df = df.withColumn(
+        "spans_d", F.transform(F.col("spans"), lambda s: parse.int_data(s["text"]))
+    )
     return df
 
 
@@ -175,14 +185,15 @@ def exploded_spans(prepared: DataFrame) -> DataFrame:
         "entity_ref",
         "has_transform",
         "n_spans",
-        F.posexplode("spans").alias("pos", "span"),
+        F.posexplode(F.arrays_zip("spans", "spans_d")).alias("pos", "z"),
     )
     return df.select(
         "*",
-        F.col("span.kind").alias("kind"),
-        F.col("span.text").alias("text"),
-        F.col("span.media_ref").alias("media_ref"),
-        F.col("span.offset").alias("offset"),
-    ).drop("span", "pos").withColumn(
-        "d", parse.int_data(F.col("text"))
-    ).withColumn("part_full", parse.part_name_full(F.col("text")))
+        F.col("z.spans.kind").alias("kind"),
+        F.col("z.spans.text").alias("text"),
+        F.col("z.spans.media_ref").alias("media_ref"),
+        F.col("z.spans.offset").alias("offset"),
+        F.col("z.spans_d").alias("d"),
+    ).drop("z", "pos").withColumn(
+        "part_full", parse.part_name_full(F.col("text"))
+    )

@@ -22,7 +22,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from gwv_spark import parse
 from gwv_spark.rules import RuleContext, rule, shape, tag_line, tag_s
 
 # kage-editor stroke-shape combinations (illegal.py:141-231)
@@ -217,16 +216,16 @@ def illegal(ctx: RuleContext) -> DataFrame:
     # int_data parse 3x per span and the class twice.  Here every shared
     # value is bound ONCE as a lambda variable of a higher-order
     # function, which is a structural guarantee of single evaluation:
-    #   parse   — inner transform (once per span)
+    #   parse   — the STORED per-span int arrays (docs.spans_d,
+    #             derive.prepare) — zero parse work at rule time
     #   class   — struct fields of the flags transform (once per span)
     #   fold    — ONE aggregate() producing (any_f, n_q, all_blank)
     #   verdict — transform over a 1-element array as a let-binding, so
     #             the fold result is a lambda variable, evaluated once
     # The two record codes come out of one explode — one pass per doc,
     # no .where branches for pushdown to duplicate into.
-    da = F.transform(F.col("spans"), lambda s: parse.int_data(s["text"]))
     fl = F.transform(
-        da,
+        F.col("spans_d"),
         lambda dd: F.struct(
             _span_alias_class(dd).alias("cls"), _span_blank_ok(dd).alias("bok")
         ),
