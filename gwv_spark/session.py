@@ -26,12 +26,18 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """master overrides the default local[cpus] — e.g.
+    'local-cluster[4,4,16384]' spawns 4 REAL executor JVMs with their own
+    heaps and netty shuffle, the shape used for the N-vs-4N-executor
+    scaling evidence (tools/scaling_bench.py).  cpus still sizes
+    shuffle_partitions when not given explicitly."""
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master or f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

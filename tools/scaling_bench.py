@@ -35,7 +35,21 @@ Protocol (round 2 — redesigned per the round-1 review):
 - min-of-K turns per level (K = ROUNDS) as the least-interference
   estimate; all per-turn samples are reported for dispersion.
 
+Round-3 upgrade — REAL executors: with SCALING_MODE=executors (the
+default) each level is a `local-cluster[E,C,M]` master, i.e. E separate
+executor JVMs with their own heaps, block managers, and netty shuffle —
+the literal "N executors vs 4N executors" of the north rule (1×C cores
+vs 4×C cores), not just more threads in one JVM.  SCALING_MODE=threads
+keeps the old local[4]/local[16] shape.  A calibration GATE delays the
+start until the host itself can scale (membw_stream ceiling ≥
+SCALING_GATE): this box is a shared VM whose observed idle memory
+bandwidth varies 2× minute-to-minute, and measuring a distributed
+engine's scaling in a window where a pure STREAM loop scales at 0.33 is
+measuring the neighbor's workload, not the engine.
+
 Usage: python tools/scaling_bench.py [n_small] [n_big] [out_json] [rounds]
+Env:   SCALING_MODE=executors|threads  SCALING_CORES=4  SCALING_EXEC_MB=10240
+       SCALING_GATE=0.5  SCALING_GATE_WAIT_S=1800
 """
 
 from __future__ import annotations
@@ -50,7 +64,22 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-N_CPUS, N4_CPUS = 4, 16
+MODE = os.environ.get("SCALING_MODE", "executors")
+CORES = int(os.environ.get("SCALING_CORES", "4"))
+EXEC_MB = int(os.environ.get("SCALING_EXEC_MB", "10240"))
+GATE = float(os.environ.get("SCALING_GATE", "0.5"))
+GATE_WAIT_S = float(os.environ.get("SCALING_GATE_WAIT_S", "1800"))
+
+if MODE == "executors":
+    # 1 executor vs 4 executors, C cores each
+    N_CPUS, N4_CPUS = CORES, 4 * CORES
+    MASTERS = {
+        N_CPUS: f"local-cluster[1,{CORES},{EXEC_MB}]",
+        N4_CPUS: f"local-cluster[4,{CORES},{EXEC_MB}]",
+    }
+else:
+    N_CPUS, N4_CPUS = 4, 16
+    MASTERS = {N_CPUS: f"local[{N_CPUS}]", N4_CPUS: f"local[{N4_CPUS}]"}
 ROUNDS = 5
 
 _WORKER = r"""
@@ -66,9 +95,12 @@ n_small = int(sys.argv[2])
 n_big = int(sys.argv[3])
 rounds = int(sys.argv[4])
 sync = Path(sys.argv[5])
+master = sys.argv[6]
 
 spark = get_spark(f"scaling-{{cpus}}", cpus=cpus, shuffle_partitions=cpus,
-                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+                  master=master,
+                  extra_conf={{"spark.ui.showConsoleProgress": "false",
+                               "spark.executorEnv.PYTHONPATH": {repo!r}}})
 spark.sparkContext.setLogLevel("ERROR")
 
 t0 = time.time()
@@ -181,7 +213,20 @@ def main() -> None:
     out_path = Path(sys.argv[3]) if len(sys.argv) > 3 else REPO / "BENCH_scaling.json"
     rounds = int(sys.argv[4]) if len(sys.argv) > 4 else ROUNDS
 
-    calib_before = hardware_calibration()
+    # gate: wait for a window where the HOST can scale before measuring
+    # whether the ENGINE does
+    gate_samples = []
+    t_gate = time.time()
+    while True:
+        c = hardware_calibration()
+        gate_samples.append(c["membw_stream"]["scaling_efficiency"])
+        if not GATE or gate_samples[-1] >= GATE:
+            calib_before = c
+            break
+        if time.time() - t_gate > GATE_WAIT_S:
+            calib_before = c  # proceed anyway; ceiling is reported
+            break
+        time.sleep(60)
 
     sync = Path(tempfile.mkdtemp(prefix="scaling_sync_"))
     procs = {}
@@ -189,7 +234,7 @@ def main() -> None:
         script = _WORKER.format(repo=str(REPO))
         procs[cpus] = subprocess.Popen(
             [sys.executable, "-c", script, str(cpus), str(n_small), str(n_big),
-             str(rounds), str(sync)],
+             str(rounds), str(sync), MASTERS[cpus]],
             cwd=REPO,
             env={
                 **os.environ,
@@ -265,11 +310,16 @@ def main() -> None:
         "metric": "validation_scaling_efficiency",
         "protocol": (
             f"full 18-rule suite via run_rules_concurrent (per-rule jobs, "
-            f"deployed configuration); local[{N_CPUS}] (N) vs local[{N4_CPUS}] (4N); "
-            f"persistent workers, measurement turns interleaved N,4N x{rounds}; "
+            f"deployed configuration); {MASTERS[N_CPUS]} (N) vs "
+            f"{MASTERS[N4_CPUS]} (4N)"
+            + (" — separate executor JVMs, real netty shuffle"
+               if MODE == "executors" else "")
+            + f"; persistent workers, measurement turns interleaved N,4N x{rounds}; "
             f"marginal throughput over {n_small:,} vs {n_big:,} docs "
-            f"(cancels the per-job driver constant); min over turns"
+            f"(cancels the per-job driver constant); min over turns; "
+            f"start gated on host membw_stream ceiling >= {GATE}"
         ),
+        "gate_membw_samples": gate_samples,
         "hardware_calibration": {"before": calib_before, "after": calib_after},
         "levels": {"N": lo, "4N": hi},
         "throughput_docs_per_sec": {
