@@ -76,3 +76,38 @@ def test_rule_suite_no_cartesian(spark, docs_df):
     ctx = engine.make_context(spark, docs_df)
     plan = _physical(engine.run_rules(ctx))
     assert "CartesianProduct" not in plan
+
+
+def test_illegal_reads_stored_parse(spark, docs_df):
+    """illegal's whole-record pass must fold over the stored per-span
+    parse (docs.spans_d, derive.prepare) — at 10^12 spans, re-running
+    the ~10-column kageInt parse per rule execution instead of reading
+    the ingest-time column is pure waste.  Source-level: the rule module
+    must not reach for parse.int_data; plan-level: the rule's plan
+    references spans_d."""
+    import inspect
+
+    from gwv_spark import engine
+    from gwv_spark.rules import illegal as illegal_mod
+
+    src = inspect.getsource(illegal_mod)
+    assert "int_data(" not in src, "illegal re-parses spans at rule time"
+
+    ctx = engine.make_context(spark, docs_df)
+    from gwv_spark.rules import RULES, load_all_rules
+
+    load_all_rules()
+    plan = ctx.plan("illegal")._jdf.queryExecution().analyzed().toString()
+    assert "spans_d" in plan
+
+
+def test_exploded_spans_zips_stored_parse(spark, docs_df):
+    """exploded_spans' per-span d column must come from the stored
+    spans_d array (arrays_zip), not a fresh int_data over text."""
+    from gwv_spark import derive
+
+    prepared = derive.prepare(docs_df)
+    assert "spans_d" in prepared.columns
+    spans = derive.exploded_spans(prepared)
+    plan = spans._jdf.queryExecution().analyzed().toString()
+    assert "spans_d" in plan
