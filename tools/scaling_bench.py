@@ -96,10 +96,15 @@ n_big = int(sys.argv[3])
 rounds = int(sys.argv[4])
 sync = Path(sys.argv[5])
 master = sys.argv[6]
+exec_mb = sys.argv[7]
 
+# local-cluster's [E,C,M] M is the WORKER's capacity, not the executor
+# request: without spark.executor.memory the executors launch at the
+# 1g default and OOM (exit 52) once the cached corpus exceeds it
 spark = get_spark(f"scaling-{{cpus}}", cpus=cpus, shuffle_partitions=cpus,
                   master=master,
                   extra_conf={{"spark.ui.showConsoleProgress": "false",
+                               "spark.executor.memory": exec_mb + "m",
                                "spark.executorEnv.PYTHONPATH": {repo!r}}})
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -234,12 +239,20 @@ def main() -> None:
         script = _WORKER.format(repo=str(REPO))
         procs[cpus] = subprocess.Popen(
             [sys.executable, "-c", script, str(cpus), str(n_small), str(n_big),
-             str(rounds), str(sync), MASTERS[cpus]],
+             str(rounds), str(sync), MASTERS[cpus], str(EXEC_MB)],
             cwd=REPO,
             env={
                 **os.environ,
                 "PYTHONPATH": str(REPO),
                 "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "40g"),
+                # both levels' standalone masters mint timestamp app-ids;
+                # started in the same second they share an executor dir
+                # under $SPARK_HOME/work (interleaved stderr only — each
+                # worker tracks its executors by process handle, so no
+                # functional clash).  Best-effort separation; the
+                # embedded local-cluster Worker ignores this env var in
+                # current Spark, so don't rely on it.
+                "SPARK_WORKER_DIR": f"/tmp/spark_work_{cpus}",
             },
         )
 
