@@ -1353,7 +1353,17 @@ def gwv_corner_boxhits_q(spark, sf_dir):
     return corner_mod.boxhits(_rule_ctx(spark, sf_dir))
 
 
-@q("gwv_corner_violations")  # rows-only: connection-graph UDF (corner.py:729-831)
+@q(
+    "gwv_corner_violations",
+    # The connection-graph semantics (reference corner.py:288-497) are not
+    # SQL-expressible; the oracle is a reference-COMPUTED expected table
+    # (the vendored reference validator run over the same corpus at
+    # generation time — ref_expected.py), the mediaops pattern.  The
+    # driver's hash check is thus a true engine-vs-reference differential.
+    lambda sf: __import__(
+        "gwv_spark.ref_expected", fromlist=["x"]
+    ).corner_expected_sql(sf),
+)
 def gwv_corner_q(spark, sf_dir):
     from gwv_spark import engine
 

@@ -53,6 +53,27 @@ def test_every_oracle_query_in_latest_correctness_record():
     assert not hard_missing, f"driver never checked: {hard_missing}"
 
 
+def test_corner_expected_table_matches_engine(spark):
+    """The corner oracle is a reference-computed expected table
+    (ref_expected.py); guard that its param rendering stays identical to
+    the engine's detail encoding (a drift here would show up as a driver
+    hash mismatch, catch it locally first)."""
+    import pandas as pd
+
+    from gwv_spark import queries as Q
+    from gwv_spark.ref_expected import ensure_corner_expected
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not Path(sf_dir).exists():
+        pytest.skip("testdata unavailable")
+    exp = pd.read_parquet(ensure_corner_expected(sf_dir))
+    got = Q.REGISTRY["gwv_corner_violations"].spark_fn(spark, sf_dir).toPandas()
+    key = ["doc_id", "errcode", "params"]
+    exp_rows = sorted(map(tuple, exp[key].itertuples(index=False)))
+    got_rows = sorted(map(tuple, got[key].itertuples(index=False)))
+    assert got_rows == exp_rows
+
+
 def test_oracle_sql_parses_in_duckdb(tmp_path):
     import duckdb
 
