@@ -174,46 +174,79 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # surface the N->4N scaling evidence measured by tools/scaling_bench.py
-    # (the north-rule criterion) alongside the timing record
+    # (the north-rule criterion).  Prefer the newest EXECUTOR-mode record
+    # (BENCH_scaling_r*.json, real local-cluster JVMs) over the legacy
+    # thread-mode BENCH_scaling.json so one self-consistent number is on
+    # record (VERDICT r3 "What's wrong" #2).
     scaling = {}
-    scaling_path = Path(__file__).resolve().parent / "BENCH_scaling.json"
-    if scaling_path.exists():
+    here = Path(__file__).resolve().parent
+    candidates = sorted(here.glob("BENCH_scaling_r*.json")) or [
+        here / "BENCH_scaling.json"
+    ]
+    for scaling_path in reversed(candidates):
+        if not scaling_path.exists():
+            continue
         try:
             sc = json.loads(scaling_path.read_text())
+            eff = sc["scaling_efficiency"]
             scaling = {
-                "scaling_efficiency_marginal_n_to_4n": sc["scaling_efficiency"]["marginal"],
-                "scaling_efficiency_raw_n_to_4n": sc["scaling_efficiency"]["raw_total"],
-                "scaling_hardware_membw_ceiling": sc["scaling_efficiency"].get(
-                    "hardware_membw_ceiling"
+                "scaling_mode": sc.get("mode")
+                or (
+                    "executors"
+                    if "local-cluster" in sc.get("protocol", "")
+                    else "threads"
                 ),
+                "scaling_source": scaling_path.name,
+                "scaling_efficiency_marginal_n_to_4n": eff["marginal"],
+                "scaling_efficiency_raw_n_to_4n": eff["raw_total"],
+                "scaling_hardware_membw_ceiling": eff.get("hardware_membw_ceiling"),
             }
+            break
         except Exception:
-            pass
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_samples": cold_samples,
-                "sf": sf,
-                "cpus": CPUS,
-                **scaling,
-                "validate_docs_per_sec": round(big_n / best_sustained, 1),
-                "validate_docs_per_sec_fused": round(big_n / big_sustained, 1),
-                "validate_docs_per_sec_concurrent": round(
-                    big_n / conc_sustained, 1
-                ),
-                "n_docs_validated": big_n,
-                "validate_docs_per_sec_sf_cold": round(n_docs / validate_sec, 1),
-                "validate_docs_per_sec_sf_sustained": round(
-                    n_docs / sustained_sec, 1
-                ),
-                "reference_single_thread_docs_per_sec": 9472,
-            }
-        )
-    )
+            continue
+
+    record = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        # the headline suite key measures run_rules_concurrent (the
+        # deployed configuration); the fused-union mode is recorded
+        # under its own key.  Mode is explicit per ADVICE r3.
+        "suite_mode": "concurrent",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+        "cpus": CPUS,
+        **scaling,
+        "validate_docs_per_sec": round(big_n / best_sustained, 1),
+        "n_docs_validated": big_n,
+        "reference_single_thread_docs_per_sec": 9472,
+    }
+    full = {
+        **record,
+        "queries": timings,
+        # cold samples keyed to the mode they actually measured
+        "cold_samples": {
+            ("validate_full_suite_fused" if k == "validate_full_suite" else k): v
+            for k, v in cold_samples.items()
+        },
+        "validate_docs_per_sec_fused": round(big_n / big_sustained, 1),
+        "validate_docs_per_sec_concurrent": round(big_n / conc_sustained, 1),
+        "validate_docs_per_sec_sf_cold": round(n_docs / validate_sec, 1),
+        "validate_docs_per_sec_sf_sustained": round(n_docs / sustained_sec, 1),
+    }
+    (here / "BENCH_FULL.json").write_text(json.dumps(full, indent=1))
+    line = json.dumps(record, separators=(",", ":"))
+    # the driver keeps only the LAST 2000 chars of stdout and parses the
+    # final JSON line (BENCH_r03 lesson: a longer line records as
+    # parsed:null).  Guarantee the line fits by shedding detail in order.
+    if len(line) > 1900:
+        record["queries"] = {
+            k: round(v, 2)
+            for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+        }
+        record["queries_truncated_to_top20_by_sec"] = True
+        line = json.dumps(record, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -84,7 +84,9 @@ def run_rules(ctx: RuleContext, rule_ids: list[str] | None = None) -> DataFrame:
     ids = [r for r in (rule_ids or ALL_RULE_IDS) if r in RULES]
     if not ids:
         return empty_violations(ctx.spark)
-    key = "__union__:" + ",".join(ids)
+    # tuple key: can never collide with a per-rule string key, and two
+    # different orderings (different union output order) cache separately
+    key = ("__union__", tuple(ids))
     cached = ctx.plan_cache.get(key)
     if cached is not None:
         return cached

@@ -115,6 +115,11 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         ignore_error=args.ignore_error,
     )
     rule_ids = args.rules or ALL_RULE_IDS
+    # fail fast on unknown rule ids: a typo'd --rules entry must not get
+    # a fabricated metrics row and a rule-complete ledger mark
+    unknown = [r for r in rule_ids if r not in ALL_RULE_IDS]
+    if unknown:
+        raise SystemExit(f"unknown rule ids: {unknown} (known: {ALL_RULE_IDS})")
 
     out = args.output.rstrip("/")
     ledger = engine.Ledger(spark, f"{out}/ledger/snapshot={snapshot}")
@@ -181,20 +186,25 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             .collect()
         }
         run_id = args.run_id or snapshot
+        # wall_s is NULL under fused mode (per-rule time is not
+        # separable from one action); the suite total goes in its own
+        # column so summing wall_s across rows never overcounts
         metrics = spark.createDataFrame(
             [
                 (
                     run_id,
                     snapshot,
                     rid,
-                    float(rule_secs.get(rid, total_secs)),
+                    rule_secs.get(rid),
+                    total_secs,
                     rule_secs.get(rid) is not None,
                     int(counts.get(rid, 0)),
                 )
                 for rid in rule_ids
             ],
             "run_id STRING, snapshot STRING, rule_id STRING, "
-            "wall_s DOUBLE, per_rule_timing BOOLEAN, n_violations BIGINT",
+            "wall_s DOUBLE, run_total_s DOUBLE, per_rule_timing BOOLEAN, "
+            "n_violations BIGINT",
         )
         metrics.write.mode("append").parquet(f"{out}/metrics")
         marks = spark.createDataFrame(

@@ -44,7 +44,11 @@ def test_job_end_to_end_and_resume(spark, tmp_path):
     }
     for rid, row in metrics.items():
         assert row["n_violations"] == vio_counts.get(rid, 0)
-        assert row["wall_s"] > 0
+        # fused mode: per-rule wall time is not separable from the single
+        # action -> wall_s is NULL and the suite total has its own column
+        # (summing wall_s across rows must never overcount)
+        assert row["wall_s"] is None and not row["per_rule_timing"]
+        assert row["run_total_s"] > 0
 
     # resume: all three rules complete -> nothing re-marked, no new
     # metrics rows appended
@@ -52,6 +56,21 @@ def test_job_end_to_end_and_resume(spark, tmp_path):
     ledger2 = spark.read.parquet(str(out / "ledger"))
     assert ledger2.where("partition_id = -1").count() == 3
     assert spark.read.parquet(str(out / "metrics")).count() == 3
+
+
+def test_job_rejects_unknown_rule_ids(spark, tmp_path):
+    """A typo'd --rules entry must fail fast, not get a fabricated
+    metrics row and a rule-complete ledger mark."""
+    import pytest
+
+    data_dir = ensure_corpus(tmp_path / "corpus", 50)
+    with pytest.raises(SystemExit, match="nosuchrule"):
+        job.main(
+            ["--input", str(data_dir / "documents.parquet"),
+             "--output", str(tmp_path / "out"),
+             "--rules", "numexp", "nosuchrule"],
+            spark=spark,
+        )
 
 
 def test_job_concurrent_mode_matches_fused(spark, tmp_path):
