@@ -111,3 +111,76 @@ def test_exploded_spans_zips_stored_parse(spark, docs_df):
     spans = derive.exploded_spans(prepared)
     plan = spans._jdf.queryExecution().analyzed().toString()
     assert "spans_d" in plan
+
+
+def test_mustrenew_salted_two_phase_agg(spark, docs_df):
+    """mustrenew's aggregation must stay the salted 2-phase shape
+    (rules/mustrenew.py:45-58): a hot part quoted by an unbounded number
+    of docs would otherwise funnel every quoter through ONE reduce task
+    (measured 44x per-task shuffle-read skew in BENCH_skew.json).  The
+    salt expression is pmod(xxhash64(doc_id)) grouped alongside
+    part_full in the partial phase."""
+    from gwv_spark import engine
+    from gwv_spark.rules import RULES, load_all_rules
+
+    load_all_rules()
+    ctx = engine.make_context(spark, docs_df, cache=False)
+    plan = RULES["mustrenew"](ctx)._jdf.queryExecution().optimizedPlan().toString()
+    assert "pmod(xxhash64(doc_id" in plan, "mustrenew lost its salt phase"
+
+
+def test_delquote_skewed_hot_key_gets_aqe_skew_split(spark):
+    """North-rule skew story, executed: plant ONE part quoted by 50% of
+    250k docs, force the RI anti join to its 10^12-catalog shape (no
+    broadcast), and assert AQE's final plan marks the join skew-split
+    (SortMergeJoin(skew=true) LeftAnti).  Straggler measurements for the
+    same setup are recorded by tools/skew_bench.py -> BENCH_skew.json."""
+    from gwv_spark import engine
+    from gwv_spark.corpus import spark_generate
+    from gwv_spark.rules import RULES, load_all_rules
+
+    load_all_rules()
+    confs = {
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # detection thresholds sized to the test corpus; the default
+        # 256M threshold is the same mechanism at cluster partition sizes
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128k",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        hot_span = F.struct(
+            F.lit("part").alias("kind"),
+            F.lit("99:0:0:10:10:190:190:zzzhot@9").alias("text"),
+            F.lit("zzzhot").alias("media_ref"),
+            F.size("spans").cast("int").alias("offset"),
+        )
+        docs = spark_generate(spark, 250_000, partitions=8).select(
+            "doc_id",
+            F.when(
+                F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0,
+                F.concat(F.col("spans"), F.array(hot_span)),
+            )
+            .otherwise(F.col("spans"))
+            .alias("spans"),
+        )
+        ctx = engine.make_context(spark, docs, cache=True)
+        df = RULES["delquote"](ctx)
+        rows = df.collect()  # executes THIS plan -> AQE finalizes it
+        assert len(rows) > 100_000  # every hot doc has the dangling quote
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the hot partition"
+        ctx.docs.unpersist()
+        ctx.spans.unpersist()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
