@@ -142,6 +142,28 @@ def main() -> None:
     timings["job_resume_skip"] = round(time.time() - t0, 3)
     shutil.rmtree(job_out, ignore_errors=True)
 
+    # incremental-snapshot lifecycle (north rule: resumable + lineage):
+    # run on 95% of the corpus, append the held-out 5% as a new data
+    # file (new snapshot fingerprint), re-run with --resume — the new
+    # snapshot's ledger starts empty so all rules recompute over the
+    # appended corpus while the prior snapshot's ledger rows persist.
+    import pyarrow.parquet as pq
+
+    inc_dir = tempfile.mkdtemp(prefix="gwv_bench_inc_")
+    inc_out = tempfile.mkdtemp(prefix="gwv_bench_incout_")
+    tbl = pq.read_table(docs_path)
+    n_base = int(tbl.num_rows * 0.95)
+    pq.write_table(tbl.slice(0, n_base), f"{inc_dir}/part-000.parquet")
+    inc_args = ["--input", inc_dir, "--output", inc_out,
+                "--rules", "numexp", "delquote", "order", "--n-buckets", "64"]
+    jobmod.main(inc_args, spark=spark)
+    pq.write_table(tbl.slice(n_base), f"{inc_dir}/part-001.parquet")
+    t0 = time.time()
+    jobmod.main(inc_args + ["--resume"], spark=spark)
+    timings["job_incremental_append_resume"] = round(time.time() - t0, 3)
+    shutil.rmtree(inc_dir, ignore_errors=True)
+    shutil.rmtree(inc_out, ignore_errors=True)
+
     # throughput anchor at a size where executor compute dominates the
     # per-job constant (~50k docs at sf0.1 is overhead-bound): 1M
     # spark-generated docs, sustained = the warmed re-execution

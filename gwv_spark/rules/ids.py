@@ -34,7 +34,7 @@ _SURROUND = ("u2ff4", "u2ff5", "u2ff6", "u2ff7", "u2ff8", "u2ff9", "u2ffa", "u2f
 @rule("ids")
 def ids(ctx: RuleContext) -> DataFrame:
     d0 = ctx.docs.where(F.col("category") == "ids").select(
-        "doc_id", "entity", "is_alias", "spans"
+        "doc_id", "entity", "is_alias", "spans", "spans_d"
     )
     # existence-checked entity spans (validatorctx.py:32-37): the
     # precomputed ``entity`` column falls back to the doc itself, so a
@@ -43,11 +43,15 @@ def ids(ctx: RuleContext) -> DataFrame:
     # minority of the ids category) fetch the target's spans via the
     # equi join; that branch's left side is tiny, so AQE broadcasts it
     # and the full-corpus right side never shuffles.
-    self_d = d0.where(F.col("entity") == F.col("doc_id")).withColumn(
-        "espans", F.col("spans")
+    self_d = (
+        d0.where(F.col("entity") == F.col("doc_id"))
+        .withColumn("espans", F.col("spans"))
+        .withColumn("espans_d", F.col("spans_d"))
     )
     ent_spans = ctx.docs.select(
-        F.col("doc_id").alias("entity"), F.col("spans").alias("__ent_spans")
+        F.col("doc_id").alias("entity"),
+        F.col("spans").alias("__ent_spans"),
+        F.col("spans_d").alias("__ent_spans_d"),
     )
     # explicit broadcast of the alias side: left to AQE, both SMJ inputs
     # materialize their shuffles before the runtime conversion decision,
@@ -60,19 +64,28 @@ def ids(ctx: RuleContext) -> DataFrame:
             F.broadcast(d0.where(F.col("entity") != F.col("doc_id"))), "entity"
         )
         .withColumn("espans", F.col("__ent_spans"))
-        .drop("__ent_spans")
+        .withColumn("espans_d", F.col("__ent_spans_d"))
+        .drop("__ent_spans", "__ent_spans_d")
     )
-    d = self_d.unionByName(alias_d).drop("spans")
+    d = self_d.unionByName(alias_d).drop("spans", "spans_d")
 
+    # First-span parse comes from the STORED per-span int arrays
+    # (derive.prepare spans_d) materialized as ONE column.  Inlining
+    # parse.int_data(first_text) here instead would copy its whole
+    # expression tree into each of x1/y1/x2/y2/aspect/dx/dy — measured
+    # ~1 s of per-execution optimizer time on this rule alone (the bulk
+    # of ids' fixed cost in NOTES_r3), for a value the ingest layer
+    # already stores.
     first_text = F.get(F.col("espans"), 0)["text"]
-    fd = parse.int_data(first_text)
-    d = d.withColumn("ft", first_text).withColumn(
-        "fp", parse.part_name_full(F.col("ft"))
+    d = (
+        d.withColumn("ft", first_text)
+        .withColumn("fd0", F.get(F.col("espans_d"), 0))
+        .withColumn("fp", parse.part_name_full(F.col("ft")))
     )
-    st0 = parse.stroke_type(F.col("ft"))
+    st0 = F.get(F.col("fd0"), 0)  # stroke type = parsed column 0
     d = d.where((st0 == 99) & (F.size("espans") > 1))
-    x1, y1 = F.get(fd, 3), F.get(fd, 4)
-    x2, y2 = F.get(fd, 5), F.get(fd, 6)
+    x1, y1 = F.get(F.col("fd0"), 3), F.get(F.col("fd0"), 4)
+    x2, y2 = F.get(F.col("fd0"), 5), F.get(F.col("fd0"), 6)
     d = d.where(x1.isNotNull() & y1.isNotNull() & x2.isNotNull() & y2.isNotNull())
     d = d.where(F.col("fp").isNotNull())  # reference crashes on 7-col 99 lines
     aspect = F.when(y1 == y2, F.lit(float("inf"))).otherwise(
@@ -98,7 +111,8 @@ def ids(ctx: RuleContext) -> DataFrame:
         ),
         lambda s: ~s["t"].rlike(_RE_IDC_FULL),
     )
-    first_tok = F.get(toks, 0)
+    d = d.withColumn("first_tok", F.get(toks, 0))  # one filter pass, stored
+    first_tok = F.col("first_tok")
     first_kanji = F.when(
         first_tok["t"] == "cdp",
         F.concat(F.lit("cdp-"), F.get(F.col("sname"), first_tok["i"] + 1)),
@@ -118,7 +132,12 @@ def ids(ctx: RuleContext) -> DataFrame:
         ),
         0,
     )
-    d = d.withColumn("fk_off", fk["offset"]).withColumn("fk_text", fk["text"])
+    # one stored struct: fk["offset"]/fk["text"] as separate withColumns
+    # would copy the whole filter-lambda tree (part_name_full per span)
+    d = d.withColumn("fk", fk)
+    d = d.withColumn("fk_off", F.col("fk")["offset"]).withColumn(
+        "fk_text", F.col("fk")["text"]
+    )
     fk_not_first = F.col("first_kanji").isNotNull() & F.col("fk_off").isNotNull() & (
         F.col("fk_off") != 0
     )

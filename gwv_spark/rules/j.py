@@ -234,16 +234,30 @@ def j(ctx: RuleContext) -> DataFrame:
         )
     )
     docs = docs.join(jv_parts, "entity", "left")
-    check_jv_code = F.when(
-        F.col("ent_has_no_apply").isNull() & F.col("banned_part").isNotNull(), F.lit("2")
+    # stage expressions are materialized as columns before the errcode
+    # cascade: inlined, check_jv_code appears 3x and src_stage 2x (with
+    # in_source_sep a literal isin over the whole source-sep group), and
+    # the optimizer re-walks every copy on each execution — the same
+    # fixed-cost duplication measured on ids (NOTES_r3 / round 4)
+    docs = docs.withColumn(
+        "check_jv_code",
+        F.when(
+            F.col("ent_has_no_apply").isNull() & F.col("banned_part").isNotNull(),
+            F.lit("2"),
+        ),
     )
+    check_jv_code = F.col("check_jv_code")
 
     region = F.regexp_extract(F.col("tail"), _RE_REGION_OPTHENKA, 1)
     is_henka = F.regexp_extract(F.col("tail"), _RE_REGION_OPTHENKA, 2) != ""
     docs = docs.withColumn("region", F.nullif(region, F.lit(""))).withColumn(
         "is_henka", is_henka
     )
-    in_source_sep = F.col("ucs").isin(source_sep) if source_sep else F.lit(False)
+    docs = docs.withColumn(
+        "in_source_sep",
+        F.col("ucs").isin(source_sep) if source_sep else F.lit(False),
+    )
+    in_source_sep = F.col("in_source_sep")
     gokan = is_gokan_kanji_cp(F.conv(F.expr("substring(ucs, 2)"), 16, 10).cast("long"))
     no_source = F.when(F.col("is_henka"), F.lit("41")).otherwise(F.lit("40"))
 
@@ -274,6 +288,8 @@ def j(ctx: RuleContext) -> DataFrame:
         )
         .otherwise(FALSE_)  # -i, -us, -js
     )
+    docs = docs.withColumn("src_stage", src_stage)
+    src_stage = F.col("src_stage")
 
     # post-source stage for j/ja/jv (j.py:172-195)
     nomark_diff = (

@@ -321,6 +321,7 @@ def main() -> None:
 
     result = {
         "metric": "validation_scaling_efficiency",
+        "mode": "executors" if MODE == "executors" else "threads",
         "protocol": (
             f"full 18-rule suite via run_rules_concurrent (per-rule jobs, "
             f"deployed configuration); {MASTERS[N_CPUS]} (N) vs "
