@@ -98,6 +98,84 @@ def _box_lines(rng: random.Random) -> list[str]:
     return lines
 
 
+_DIRECTED_SHAPES = (
+    "sun", "yue", "jiu", "bottom_T", "bend", "cross_T",
+    "tee_ladder", "nian", "tee_right", "ladder", "yue_ladder",
+)
+
+
+def _directed_lines(rng: random.Random) -> list[str]:
+    """Canonical connection topologies the random generators almost never
+    compose — the named shapes of is_ZH_corner's deep branches (reference
+    corner.py:349-497: 日/曰 382-394, 臼 396-410, ├┼ 412-424, └┐┘
+    426-439, ┌┬/┤-ladder 440-473, 廿 475-495).  Coordinates jitter as a
+    whole (translation + box size) so connection offsets stay inside the
+    tolerance boxes while preemption geometry varies; the left vertical's
+    tail cycles 13/313/413 to exercise all three ZH verdict codes.
+    Coverage audit: tools/corner_coverage.py."""
+    x = rng.choice(range(30, 80, 5))
+    y = rng.choice(range(30, 80, 5))
+    w = rng.choice(range(50, 105, 5))
+    h = rng.choice(range(50, 105, 5))
+    lt = rng.choice([13, 313, 413])
+    ym = y + h // 2
+    x2, y2 = x + w, y + h
+    shape = rng.choice(_DIRECTED_SHAPES)
+    left = f"1:12:{lt}:{x}:{y}:{x}:{y2}"
+    top = f"1:2:2:{x}:{y}:{x2}:{y}"
+    bottom = f"1:2:2:{x}:{y2}:{x2}:{y2}"
+    right = f"1:22:23:{x2}:{y}:{x2}:{y2}"
+    if shape == "sun":  # 日: mid rung reaches the right vertical
+        return [left, top, f"1:2:2:{x}:{ym}:{x2}:{ym}", bottom, right]
+    if shape == "yue":  # 曰: mid rung stops short (free end)
+        return [left, top, f"1:2:0:{x}:{ym}:{x + w - 25}:{ym}", bottom, right]
+    if shape == "jiu":  # 臼: stubs left + inner-right rung to right-vert mid
+        return [
+            left, f"1:2:0:{x}:{y}:{x + 30}:{y}",
+            f"1:2:0:{x}:{ym}:{x + 30}:{ym}", bottom,
+            f"1:0:0:{x2}:{y - 20}:{x2}:{y2 + 20}",
+            f"1:0:2:{x + 45}:{ym}:{x2}:{ym}",
+        ]
+    if shape == "bottom_T":  # ├┴: free mid rung + tate hanging into bottom
+        return [
+            left, f"1:2:0:{x}:{ym}:{x + 60}:{ym}", bottom,
+            f"1:0:32:{x + 40}:{y - 10}:{x + 40}:{y2}",
+        ]
+    if shape == "bend":  # └┐┘: bottom ends on a type-3 bend
+        return [
+            left, top, f"1:2:2:{x}:{y2}:{x + 40}:{y2}",
+            f"3:32:7:{x + 40}:{y2}:{x + 40}:{y2 + 30}:{x + 20}:{y2 + 30}",
+            f"1:0:2:{x + 55}:{y2}:{x2}:{y2}", right,
+        ]
+    if shape == "cross_T":  # ┌┬: top passes over the right vertical's start
+        return [
+            left, f"1:2:0:{x}:{y}:{x2 + 40}:{y}", bottom,
+            f"1:0:0:{x2}:{y}:{x2}:{y2 + 40}",
+        ]
+    if shape == "tee_ladder":  # ┤-ladder: all rungs end at a long right vert
+        return [
+            left, top, f"1:2:2:{x}:{ym}:{x2}:{ym}", bottom,
+            f"1:0:0:{x2}:{y - 40}:{x2}:{y2 + 40}",
+        ]
+    if shape == "nian":  # 廿: free-start verticals + wide crossing rung
+        return [
+            f"1:0:{lt}:{x}:{y}:{x}:{y2}", f"1:0:13:{x2}:{y}:{x2}:{y2}",
+            bottom, f"1:0:0:{x - 25}:{ym}:{x2 + 25}:{ym}",
+        ]
+    if shape == "ladder":  # 日-ladder: full mid rung, long right vert
+        return [
+            left, top, f"1:2:2:{x}:{ym}:{x2}:{ym}", bottom,
+            f"1:22:32:{x2}:{y}:{x2}:{y2 + 40}",
+        ]
+    if shape == "yue_ladder":  # 曰-ladder: free short mid rung
+        return [
+            left, top, f"1:2:0:{x}:{ym}:{x + w - 25}:{ym}", bottom,
+            f"1:22:32:{x2}:{y}:{x2}:{y2 + 40}",
+        ]
+    # tee_right: bottom ends at the right vertical's middle
+    return [left, top, bottom, f"1:22:32:{x2}:{y}:{x2}:{y2 + 40}"]
+
+
 def _geom_records(seed: int, n: int):
     rng = random.Random(f"geom:{seed}")
     recs = []
@@ -115,7 +193,13 @@ def _geom_records(seed: int, n: int):
             name = f"u{0x00C0 + i:04x}"
         else:
             name = f"gfuzz{seed}-{i}"
-        lines = _box_lines(rng) if rng.random() < 0.35 else _stroke_lines(rng)
+        r2 = rng.random()
+        if r2 < 0.25:
+            lines = _directed_lines(rng)
+        elif r2 < 0.55:
+            lines = _box_lines(rng)
+        else:
+            lines = _stroke_lines(rng)
         recs.append((name, "u3013", "$".join(lines)))
     return recs
 
