@@ -206,7 +206,13 @@ def result_json(
 ) -> dict:
     """Rebuild the reference's result dict
     {rule: {timestamp, result: {errcode: [[doc_id, *params], ...]}}}
-    from collected violation rows (validator.py:57-60)."""
+    from collected violation rows (validator.py:57-60).
+
+    DRIVER-SIDE by design: this exists only for the byte-parity harness
+    (tests/test_report_order.py) and small-result CLI use — it sorts
+    collected rows in driver memory.  The at-scale sink is the job path
+    (job.py: executor-side partitioned parquet write); do not reach for
+    this with a corpus-sized violations set."""
     ids = rule_ids or ALL_RULE_IDS
     out: dict = {
         rid: {
