@@ -223,6 +223,13 @@ def main() -> None:
                 "scaling_efficiency_raw_n_to_4n": eff["raw_total"],
                 "scaling_hardware_membw_ceiling": eff.get("hardware_membw_ceiling"),
             }
+            # campaign summaries carry per-window evidence — surface it
+            if "marginal_per_window" in sc:
+                scaling["scaling_marginal_per_window"] = sc["marginal_per_window"]
+                scaling["scaling_ceiling_ratio_per_window"] = sc[
+                    "ceiling_ratio_per_window"
+                ]
+                scaling["scaling_headline_window"] = sc.get("headline_window")
             break
         except Exception:
             continue
