@@ -23,11 +23,17 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.mark.parametrize("seed", list(range(100, 130)))
+# fresh-seed sweeps: override the 30-seed window base to fuzz seeds
+# never run before (e.g. GWV_FUZZ_GEOM_BASE=130 GWV_FUZZ_GRAMMAR_BASE=230)
+_GEOM_BASE = int(os.environ.get("GWV_FUZZ_GEOM_BASE", "100"))
+_GRAMMAR_BASE = int(os.environ.get("GWV_FUZZ_GRAMMAR_BASE", "200"))
+
+
+@pytest.mark.parametrize("seed", list(range(_GEOM_BASE, _GEOM_BASE + 30)))
 def test_geom_ext(spark, reference_gwv, seed):
     geom_case(spark, reference_gwv, seed)
 
 
-@pytest.mark.parametrize("seed", list(range(200, 230)))
+@pytest.mark.parametrize("seed", list(range(_GRAMMAR_BASE, _GRAMMAR_BASE + 30)))
 def test_fuzz_ext(spark, reference_gwv, seed):
     fuzz_case(spark, reference_gwv, seed)
