@@ -27,6 +27,7 @@ so one malformed record cannot kill an executor.
 
 from __future__ import annotations
 
+import functools
 import itertools
 
 import pandas as pd
@@ -203,10 +204,13 @@ def _link(t: Seg, y: Seg, tpos: int, ypos: int, code: str) -> None:
         y.c2 = conn
 
 
+@functools.lru_cache(maxsize=4)
 def _type_maps(is_g: bool, is_t: bool):
     """Tolerance boxes per (tate_pos, yoko_pos) corner and tate endpoint
     shape (corner.py:518-591).  Entries are (code, xmin, xmax, ymin,
-    ymax) checked in order on (yoko_end − tate_end) deltas."""
+    ymax) checked in order on (yoko_end − tate_end) deltas.  Pure in
+    (is_g, is_t) and never mutated by callers, so the four possible
+    structures are built once per executor instead of per document."""
     return {
         (0, 0): {  # top-left
             12: [(_OK, 0, 0, 0, 0), ("00", -7, 9, -5, 3)],
