@@ -113,7 +113,11 @@ def synth_mj() -> list[list]:
     Rows 0-39 are internally consistent with the synthetic corpus's
     koseki/toki/ucs naming; rows 40-59 cross-wire koseki keys so toki
     aliases hit the WRONG_ENTITY branch; a few rows carry compat-UCS or
-    list-valued columns to exercise get()'s branches."""
+    list-valued columns to exercise get()'s branches.  The remaining
+    field columns (juki/nyukan/x0212/ivs/svs/dkw/shincho/sdjt) are
+    populated on deterministic modular strides so every
+    glyphname_to_field_key / key2gw family branch (mj.py:93-177) is
+    reachable from directed inputs (tests/test_directed_branches.py)."""
     rows: list[list] = []
     for i in range(60):
         row: list = [None] * 13
@@ -129,6 +133,26 @@ def synth_mj() -> list[list]:
             row[6] = f"{0x4E00 + i:04x}"  # ucs
         if i % 11 == 6:
             row[4] = f"1-{0x3021 + i:04x}"  # x0213 plane 1
+        elif i % 11 == 7:
+            row[4] = f"2-{0x3021 + i:04x}"  # x0213 plane 2
+        if i % 2 == 0:
+            row[2] = f"{0x3000 + i:04x}"  # juki
+        if i % 5 == 0:
+            row[3] = f"e{i:03x}"  # nyukan
+        if i % 4 == 1:
+            row[5] = f"{0x2121 + i:04x}"  # x0212 (jsp)
+        if i % 6 == 1:
+            row[7] = f"u{0x4E00 + i:04x}-ue0100"  # ivs
+        if i % 6 == 2:
+            row[8] = f"u{0x4E00 + i:04x}-ufe00"  # svs
+        if i % 3 == 0:
+            row[10] = f"{i:05d}"  # dkw
+        elif i == 7:
+            row[10] = "h1234"  # dkw h-prefix shape
+        if i % 4 == 2:
+            row[11] = f"{10000 + i:05d}"  # shincho
+        if i % 5 == 3:
+            row[12] = f"{20000 + i:05d}"  # sdjt
         rows.append(row)
     return rows
 

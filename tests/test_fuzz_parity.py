@@ -89,6 +89,24 @@ def _fuzz_records(seed: int, n: int):
         + [f"u2ff{i % 2}-u4e{i:02x}-u4e{i + 1:02x}" for i in range(8)]
         + [f"uf9{i:02x}" for i in range(6)]  # gokan compat (related rule)
         + ["u2ffe-u4e00-u4e01", "cdp-8c42", "j78-3021", "j78-2120"]
+        # mj name families (synth_mj strides, dims.py) — present + absent keys
+        + [f"jmj-{i:06d}" for i in range(4)] + ["jmj-090004", "jmj-000777"]
+        + [f"juki-{0x3000 + 2 * i:04x}" for i in range(4)]
+        + ["nyukan-e000", "nyukan-e00a", "jsp-2122", "jsp-2126"]
+        + [f"dkw-{3 * i:05d}" for i in range(4)] + ["dkw-h1234", "dkw-00012dd"]
+        + ["shincho-10002", "shincho-10006", "sdjt-20003", "sdjt-20008"]
+        + ["jx2-3021", "jx1-2004-3027", "jx1-2000-3021"]
+        + [f"u{0x4E00 + i:04x}-ue0100" for i in (1, 7, 13)]
+        + [f"u{0x4E00 + i:04x}-ufe00" for i in (2, 8, 14)]
+        # j region tails over varied source rows (synth_cjksrc strides)
+        + [f"u{0x4E00 + i:04x}-{r}" for i, r in
+           [(0, "jv"), (3, "jv"), (27, "jv"), (19, "jv"), (0, "kv"), (2, "kv"),
+            (0, "gv"), (0, "jn"), (0, "us"), (2, "j"), (3, "j"), (7, "ja"), (2, "j01")]]
+        # width box/class names + naming prohibition/deprecation shapes
+        + ["u0300", "u0301", "u0041-fullwidth", "u0042-halfwidth", "u0043-01",
+           "u4e10-halfwidth", "u4e11-fullwidth"]
+        + ["juki-ad96", "ud800", "cdp-80a1", "kx-123456", "geog-qin-7",
+           "u4e00-vert", "u4e00-ue0101", "u2ff0-cdpn-8c43-u4e00"]
     )
     names = rng.sample(name_pool, min(n, len(name_pool)))
     recs = []

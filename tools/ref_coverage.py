@@ -110,6 +110,16 @@ def main() -> None:
         # 2. grammar fuzz: default seeds 1-3 + the extended windows
         for seed in [1, 2, 3] + list(range(200, 200 + n_grammar)):
             run_ref(_fuzz_records(seed, 120), FUZZ_RULES)
+        # 2b. directed branch records (tests/test_directed_branches.py)
+        d_src = (REPO / "tests" / "test_directed_branches.py").read_text()
+        d_src = d_src[: d_src.index("def test_")]
+        d_src = "\n".join(
+            l for l in d_src.splitlines() if not l.startswith("from tests.")
+        )
+        d_ns: dict = {}
+        exec(compile(d_src, "test_directed_branches.py:data", "exec"), d_ns)
+        run_ref(d_ns["DIRECTED_RECORDS"], FUZZ_RULES)
+        run_ref(d_ns["DIRECTED_GEOM_RECORDS"], GEOM_RULES)
         # 3. geometry fuzz: default seeds 11-14 + the extended windows
         for seed in [11, 12, 13, 14] + list(range(100, 100 + n_geom)):
             run_ref(_geom_records(seed, 120), GEOM_RULES)
