@@ -572,6 +572,20 @@ def corner(ctx: RuleContext) -> DataFrame:
         & (~F.col("is_hikanji"))
         & (~F.col("has_transform"))
     )
+    # Catalyst-side prefilter before the Arrow transfer: every corner
+    # violation needs a (tate, yoko) connection, i.e. >= 2 segments.
+    # Types 1/3/4 yield ONE segment each in setSegments
+    # (corner.py:196-238); types 2/6/7 can yield two (the extra yoko
+    # sweep), so any such line keeps the doc.  Docs failing this have
+    # <= 1 segment — no pair, no conn, no ZH pass, and (all line parses
+    # None-guarded) no quarantine-able crash either — so skipping them
+    # is exact.  Measured: excludes ~32% of the gated corpus (the
+    # part-composition docs), saving their gdata parse in Python.
+    _st = lambda a: F.get(a, 0)  # noqa: E731
+    base = base.where(
+        F.exists(F.col("spans_d"), lambda a: _st(a).isin(2, 6, 7))
+        | (F.size(F.filter(F.col("spans_d"), lambda a: _st(a).isin(1, 3, 4))) >= 2)
+    )
     d = (
         base.select(
             "doc_id",

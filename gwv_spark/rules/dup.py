@@ -192,6 +192,19 @@ def dup(ctx: RuleContext) -> DataFrame:
         & (F.col("category") != "user-owned")
         & (~F.col("has_transform"))
     )
+    # Catalyst-side prefilter before the Arrow transfer: every dup code
+    # is a PAIR within one bucket (dup.py:187-211).  Types 3/4/7 emit
+    # two elements from one line (two bend segments / segment+curve),
+    # so any such line keeps the doc; otherwise a pair needs >= 2 lines
+    # of the single-element types (1/2/6/9/99).  Excluded docs can
+    # yield neither a violation nor a quarantine row (the element scan
+    # skips malformed lines rather than raising — see _first_dup).
+    # Measured: excludes ~27% of the gated corpus.
+    _st = lambda a: F.get(a, 0)  # noqa: E731
+    base = base.where(
+        F.exists(F.col("spans_d"), lambda a: _st(a).isin(3, 4, 7))
+        | (F.size(F.filter(F.col("spans_d"), lambda a: _st(a).isin(1, 2, 6, 9, 99))) >= 2)
+    )
     d = (
         base.select(
             "doc_id",
