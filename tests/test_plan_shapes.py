@@ -184,3 +184,26 @@ def test_delquote_skewed_hot_key_gets_aqe_skew_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_corner_dup_prefilter_before_arrow(spark, docs_df):
+    """corner/dup must gate their Arrow transfer on the pair-capability
+    predicate over the stored span parse: without it, every gated doc's
+    gdata ships to Python just to early-exit (~30% of the corpus is
+    part-composition glyphs that cannot produce either rule's pairs).
+    Plan-level: the analyzed plan must reference spans_d (the predicate
+    reads it) ahead of the Python evaluation node."""
+    from gwv_spark import engine
+    from gwv_spark.rules import load_all_rules
+
+    load_all_rules()
+    ctx = engine.make_context(spark, docs_df)
+    for rule_id in ("corner", "dup"):
+        plan = ctx.plan(rule_id)._jdf.queryExecution().analyzed().toString()
+        assert "spans_d" in plan, f"{rule_id} lost its Arrow prefilter"
+        phys = _physical(ctx.plan(rule_id))
+        arrow = phys.find("ArrowEvalPython")
+        assert arrow != -1, f"{rule_id} should evaluate via Arrow"
+        assert "exists(spans_d" in phys or "exists(" in phys, (
+            f"{rule_id} physical plan lacks the prefilter predicate"
+        )
