@@ -1,0 +1,268 @@
+"""Structured Streaming tier: low-latency validation of newly-landed
+document files, plus watermarked streaming rollups.
+
+Two-tier architecture for a corpus that grows continuously:
+
+- **Stream tier (this module)** — the DOCUMENT-LOCAL rules: rules whose
+  verdict depends only on the document's own columns plus static config
+  dims (:data:`DOC_LOCAL_RULES`).  They run per microbatch through
+  ``foreachBatch`` over a checkpointed file source, so each landed file
+  is validated exactly once and violations stream out minutes after
+  arrival instead of at the next full-corpus run.  This tier carries the
+  geometry-heavy rules (corner, dup, illegal) — the bulk of per-doc CPU.
+- **Batch tier** — the CORPUS-SCOPED rules (referential checks such as
+  delquote/delvar, corpus-existence probes such as j/ucsalias, global
+  aggregations such as mustrenew, and width's ``-halfwidth`` existence
+  probe).  Their verdicts change when OTHER documents arrive, so
+  per-batch evaluation would be semantically wrong; they run through the
+  resumable snapshot job (``gwv_spark.job --resume``), whose
+  incremental-append lifecycle is tested in tests/test_job.py.
+
+Doc-locality is a semantic property, not a guess:
+tests/test_streaming.py::test_doc_local_rules_are_split_invariant runs
+every rule on a corpus split into independent halves and asserts the
+listed rules produce identical violations to the whole-corpus run
+(corpus-scoped rules demonstrably fail this property — delquote's
+missing-part check, for example, flags parts whose definition sits in
+the other half).
+
+At 10^12-doc scale this is the shape you want: the stream tier is
+embarrassingly parallel (no shuffle at all — every doc-local rule plan
+is a narrow map over the microbatch, `.explain` shows one
+WholeStageCodegen + the two Arrow UDF stages), while the batch tier
+amortizes its corpus-wide shuffles across a snapshot.
+
+Reference anchor: the reference validates a full dump per run
+(gwv.py:19-44); the stream tier is the "validate on save" mode its
+users approximate by re-running gwv on edit, made exactly-once and
+incremental.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gwv_spark import engine
+from gwv_spark.rules import load_all_rules
+
+# Documents-table shape (BASELINE.json input_hint; corpus.spark_generate).
+# ``related``/``ts`` are optional attributes — the stream only requires
+# doc_id + spans, same as engine.make_context.
+DOCS_SCHEMA = (
+    "doc_id STRING, related STRING, ts DOUBLE, "
+    "spans ARRAY<STRUCT<kind: STRING, text: STRING, "
+    "media_ref: STRING, offset: INT>>"
+)
+
+# Rules whose violations depend only on the document's own columns plus
+# static config dims.  Guarded by
+# tests/test_streaming.py::test_doc_local_rules_are_split_invariant.
+# Deliberately NOT here despite passing the split test on some corpora
+# (locality must hold by construction, not by luck):
+#   related/ids/mj/j — dereference alias entities (cross-doc join);
+#   width — probes corpus existence of '<part>-halfwidth' names.
+DOC_LOCAL_RULES = [
+    "corner", "illegal", "skew", "dup", "naming", "order", "numexp",
+]
+
+CORPUS_SCOPED_RULES = [
+    "related", "donotuse", "kosekitoki", "mj", "ucsalias", "ids",
+    "delquote", "delvar", "mustrenew", "j", "width",
+]
+
+
+def read_document_stream(
+    spark: SparkSession,
+    input_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a landing directory of document parquet
+    files.  The checkpoint's file index provides exactly-once per-file
+    processing; ``maxFilesPerTrigger`` bounds microbatch size so one
+    giant backfill drop cannot produce an executor-OOM-sized batch."""
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(input_path)
+
+
+def validate_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    rule_ids: list[str] | None = None,
+    ignore_error: bool = False,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    max_files_per_trigger: int | None = None,
+    n_buckets: int = 256,
+    allow_corpus_scoped: bool = False,
+):
+    """Start the streaming validation query; returns the StreamingQuery.
+
+    Per microbatch (foreachBatch — the rule plans need the whole batch
+    for their groupBys and Arrow UDFs, and idempotent parquet appends
+    keyed by the checkpoint give end-to-end exactly-once):
+
+    - violations → ``<output>/violations/rule_id=<id>/`` with an
+      ``epoch_id`` column (same schema as the batch job's sink plus the
+      epoch — a reader unions both tiers' directories);
+    - per-(bucket, rule) verdicts for the batch's docs →
+      ``<output>/verdicts`` (run_id = ``epoch=<n>``);
+    - one metrics row per epoch → ``<output>/metrics`` (lineage: which
+      epoch validated how many docs, how long it took).
+
+    ``available_now=True`` drains everything not yet processed and stops
+    — the incremental-batch shape (cron-style catch-up).  With
+    ``processing_time`` it runs continuously.  Corpus-scoped rules are
+    rejected unless ``allow_corpus_scoped=True`` (their per-batch result
+    is relative to the batch, not the corpus — useful only for smoke
+    tests, so the misuse is an explicit opt-in, not a silent semantics
+    change)."""
+    load_all_rules()
+    rids = list(rule_ids) if rule_ids is not None else list(DOC_LOCAL_RULES)
+    if not allow_corpus_scoped:
+        scoped = [r for r in rids if r not in DOC_LOCAL_RULES]
+        if scoped:
+            raise ValueError(
+                f"corpus-scoped rules {scoped} are exact only over the whole "
+                "corpus — run them through gwv_spark.job --resume, or pass "
+                "allow_corpus_scoped=True if per-batch semantics are intended"
+            )
+    out = str(output_dir).rstrip("/")
+
+    def _process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        t0 = time.monotonic()
+        ctx = engine.make_context(
+            spark, batch_df, cache=True, ignore_error=ignore_error
+        )
+        try:
+            v = (
+                engine.run_rules(ctx, rids)
+                .withColumn("epoch_id", F.lit(int(epoch_id)))
+                .persist()
+            )
+            try:
+                v.write.mode("append").partitionBy("rule_id").parquet(
+                    f"{out}/violations"
+                )
+                run_id = f"epoch={int(epoch_id)}"
+                verdicts = engine.partition_verdicts(
+                    ctx.docs,
+                    v.where(F.col("errcode") != "__error__"),
+                    n_buckets=n_buckets,
+                    run_id=run_id,
+                )
+                verdicts.write.mode("append").parquet(f"{out}/verdicts")
+                n_docs = ctx.docs.count()  # cached — no recompute
+                n_vio = v.count()
+                metrics = spark.createDataFrame(
+                    [(run_id, int(epoch_id), n_docs, n_vio,
+                      round(time.monotonic() - t0, 3))],
+                    "run_id STRING, epoch_id BIGINT, n_docs BIGINT, "
+                    "n_violations BIGINT, wall_s DOUBLE",
+                )
+                metrics.write.mode("append").parquet(f"{out}/metrics")
+            finally:
+                v.unpersist()
+        finally:
+            ctx.docs.unpersist()
+            ctx.spans.unpersist()
+
+    stream = read_document_stream(spark, input_path, max_files_per_trigger)
+    writer = (
+        stream.writeStream.foreachBatch(_process_batch)
+        .option("checkpointLocation", f"{out}/_checkpoint")
+        .queryName("gwv-validate-stream")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def validate_stream_drain(spark: SparkSession, input_path: str,
+                          output_dir: str, **kwargs) -> None:
+    """Run validate_stream with availableNow and block until drained."""
+    q = validate_stream(
+        spark, input_path, output_dir, available_now=True, **kwargs
+    )
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------- events
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def stream_events_hourly(
+    spark: SparkSession,
+    input_path: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked streaming version of the batch events_hourly_rollup
+    (queries.py events_hourly): tumbling 1-hour event-time windows,
+    counts + sums per event_type.  The watermark bounds state: windows
+    older than max(event time) - watermark are finalized and evicted, so
+    state size is O(active windows × event types), independent of stream
+    length — late events inside the watermark still merge into their
+    window; beyond it they are dropped (the documented tradeoff).
+
+    Returns the streaming DataFrame; the caller picks sink + output mode
+    (``append`` emits each window once, on finalization)."""
+    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_path)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_events_hourly_drain(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Drain the hourly rollup over all files currently in
+    ``input_path`` (availableNow) into ``<output>/rollup`` parquet and
+    return the result as a batch DataFrame.
+
+    Output mode ``append`` only emits windows the watermark has closed;
+    with a finite drain the trailing windows would be lost, so the drain
+    runs in ``complete`` mode into a memory-table-free parquet sink via
+    foreachBatch overwrite (idempotent: the last epoch's state is the
+    full rollup)."""
+    out = str(output_dir).rstrip("/")
+    rollup = stream_events_hourly(spark, input_path, watermark)
+
+    def _write(batch_df: DataFrame, _epoch: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out}/rollup")
+
+    q = (
+        rollup.writeStream.foreachBatch(_write)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{out}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{out}/rollup")

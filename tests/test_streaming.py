@@ -1,0 +1,144 @@
+"""Streaming tier tests.
+
+1. The DOC_LOCAL_RULES list is a PROVEN property: every listed rule must
+   produce identical violations when the corpus is validated in two
+   independent halves vs whole (split-invariance).  Corpus-scoped rules
+   must demonstrably fail the property on this corpus, so a rule can't
+   drift into the wrong tier silently.
+2. validate_stream end-to-end: exactly-once per file (checkpoint), the
+   streamed violations equal the batch engine's over the same docs, and
+   appending a new file + re-draining processes ONLY the new docs.
+3. The watermarked streaming hourly rollup equals the batch rollup.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _rows(df, drop=()):
+    # sorted column names: a hive-partitioned read-back appends the
+    # partition column last, so positional order is not comparable
+    cols = sorted(c for c in df.columns if c not in drop)
+    return {tuple(map(str, r)) for r in df.select(*cols).collect()}
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    from gwv_spark.corpus import spark_generate
+
+    df = spark_generate(spark, 3000, partitions=4).cache()
+    df.count()
+    return df
+
+
+def test_doc_local_rules_are_split_invariant(spark, corpus_df):
+    from gwv_spark import engine
+    from gwv_spark.rules import RULES, load_all_rules
+    from gwv_spark.streaming import CORPUS_SCOPED_RULES, DOC_LOCAL_RULES
+
+    load_all_rules()
+    assert sorted(DOC_LOCAL_RULES + CORPUS_SCOPED_RULES) == sorted(RULES)
+
+    docs = corpus_df.select("doc_id", "spans")
+    half_a = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    half_b = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+    ctx_full = engine.make_context(spark, docs, cache=False)
+    ctx_a = engine.make_context(spark, half_a, cache=False)
+    ctx_b = engine.make_context(spark, half_b, cache=False)
+
+    for rid in DOC_LOCAL_RULES:
+        full = _rows(RULES[rid](ctx_full))
+        split = _rows(RULES[rid](ctx_a)) | _rows(RULES[rid](ctx_b))
+        assert full == split, f"{rid} declared doc-local but is split-variant"
+
+    # the tier boundary is real: at least the referential/existence rules
+    # must fail split-invariance on this corpus (if they didn't, the
+    # corpus would be too weak for the positive assertion above to mean
+    # anything)
+    variant = []
+    for rid in CORPUS_SCOPED_RULES:
+        full = _rows(RULES[rid](ctx_full))
+        split = _rows(RULES[rid](ctx_a)) | _rows(RULES[rid](ctx_b))
+        if full != split:
+            variant.append(rid)
+    assert {"delquote", "delvar", "kosekitoki"} <= set(variant)
+
+
+def test_validate_stream_exactly_once_and_incremental(spark, corpus_df, tmp_path):
+    from gwv_spark import engine
+    from gwv_spark.streaming import DOC_LOCAL_RULES, validate_stream_drain
+
+    landing = tmp_path / "landing"
+    out = tmp_path / "out"
+    landing.mkdir()
+
+    docs = corpus_df.select("doc_id", "related", F.col("ts"), "spans")
+    part1 = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) < 2)
+    part2 = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == 2)
+    part1.coalesce(1).write.mode("overwrite").parquet(str(landing / "drop1"))
+
+    validate_stream_drain(spark, str(landing / "*"), str(out))
+
+    streamed1 = spark.read.parquet(str(out / "violations"))
+    ctx1 = engine.make_context(spark, part1.select("doc_id", "spans"), cache=False)
+    batch1 = engine.run_rules(ctx1, DOC_LOCAL_RULES)
+    assert _rows(streamed1, drop=("epoch_id",)) == _rows(batch1)
+
+    # drain again with NO new files: nothing reprocessed
+    validate_stream_drain(spark, str(landing / "*"), str(out))
+    metrics = spark.read.parquet(str(out / "metrics"))
+    n_docs_after_noop = metrics.agg(F.sum("n_docs")).collect()[0][0]
+    assert n_docs_after_noop == part1.count()
+
+    # append a second drop: only ITS docs are processed, and the union of
+    # streamed violations equals the batch run over the full corpus
+    part2.coalesce(1).write.mode("overwrite").parquet(str(landing / "drop2"))
+    validate_stream_drain(spark, str(landing / "*"), str(out))
+    metrics = spark.read.parquet(str(out / "metrics"))
+    assert metrics.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+
+    streamed_all = spark.read.parquet(str(out / "violations"))
+    ctx_full = engine.make_context(
+        spark, docs.select("doc_id", "spans"), cache=False
+    )
+    batch_full = engine.run_rules(ctx_full, DOC_LOCAL_RULES)
+    assert _rows(streamed_all, drop=("epoch_id",)) == _rows(batch_full)
+
+    # verdict lineage: every epoch wrote verdict rows tagged epoch=<n>
+    verdicts = spark.read.parquet(str(out / "verdicts"))
+    assert verdicts.where(~F.col("run_id").startswith("epoch=")).count() == 0
+    assert verdicts.count() > 0
+
+
+def test_validate_stream_rejects_corpus_scoped_rules(spark, tmp_path):
+    from gwv_spark.streaming import validate_stream
+
+    with pytest.raises(ValueError, match="delquote"):
+        validate_stream(
+            spark, str(tmp_path / "in"), str(tmp_path / "out"),
+            rule_ids=["corner", "delquote"],
+        )
+
+
+def test_stream_events_hourly_matches_batch(spark, tmp_path):
+    import os
+
+    from gwv_spark import queries as Q
+    from gwv_spark.streaming import stream_events_hourly_drain
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    events_path = f"{sf_dir}/events.parquet"
+    if not os.path.exists(events_path):
+        pytest.skip("testdata not available")
+
+    # the file stream source requires a DIRECTORY of files
+    landing = tmp_path / "events"
+    landing.mkdir()
+    os.symlink(events_path, landing / "events-000.parquet")
+    streamed = stream_events_hourly_drain(
+        spark, str(landing), str(tmp_path / "roll")
+    )
+    batch = Q.REGISTRY["events_hourly_rollup"].spark_fn(spark, sf_dir)
+    assert _rows(streamed) == _rows(batch)
