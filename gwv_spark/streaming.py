@@ -195,6 +195,146 @@ def validate_stream_drain(spark: SparkSession, input_path: str,
     q.awaitTermination()
 
 
+# ----------------------------------------------------- stateful drift
+def stream_drift_monitor(
+    spark: SparkSession,
+    input_path: str,
+    baseline: dict[tuple[str, str], float],
+    eps: float = 1e-4,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator: running distribution-drift
+    (PSI) of the growing corpus against a baseline snapshot, updated
+    every microbatch.
+
+    Matches the batch pair stats.corpus_snapshot → stats.snapshot_psi
+    over the histogram metrics (span_len_hist: docs per span count;
+    kind_freq: spans per kind) — same buckets, same ε-smoothed
+    natural-log PSI — but holds the corpus-so-far histogram as STREAM
+    STATE instead of rescanning, so each update costs one pass over the
+    new docs only.
+
+    Scale shape: the stateful operator's STATE is bucket-grain (a
+    histogram dict per metric), independent of stream length.  Its
+    per-batch INPUT is doc-grain but two-narrow-string columns, reduced
+    to bucket counts inside the Arrow batch loop (pandas value_counts)
+    — with only two metric keys the reduce parallelism is 2, so at
+    cluster scale you bound microbatch size with maxFilesPerTrigger, or
+    salt the key into (metric, shard) and fold the shard histograms in a
+    tiny downstream batch step.  ``baseline`` is a plain dict keyed by
+    (metric, bucket) — dimension-sized (it is a histogram), closed over
+    into the executors.
+
+    Returns the streaming DataFrame of updates
+    (metric, n_seen, psi) — one row per metric per microbatch;
+    outputMode must be ``update`` (or foreachBatch append of the
+    deltas)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    docs = read_document_stream(spark, input_path, max_files_per_trigger)
+    span_len = docs.select(
+        F.lit("span_len_hist").alias("metric"),
+        F.size("spans").cast("string").alias("bucket"),
+    )
+    kind = docs.select(
+        F.lit("kind_freq").alias("metric"),
+        F.explode(F.col("spans.kind")).alias("bucket"),
+    )
+    rows = span_len.unionByName(kind)
+
+    out_type = StructType(
+        [
+            StructField("metric", StringType()),
+            StructField("n_seen", LongType()),
+            StructField("psi", DoubleType()),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("buckets", StringType()),  # json {"bucket": n}
+            StructField("n_seen", LongType()),
+        ]
+    )
+    base_by_metric: dict[str, dict[str, float]] = {}
+    for (m, b), n in baseline.items():
+        base_by_metric.setdefault(m, {})[b] = float(n)
+
+    def _update(key, pdf_iter, state):
+        import json as _json
+
+        metric = key[0]
+        if state.exists:
+            hist_json, n_seen = state.get
+            hist = _json.loads(hist_json)
+        else:
+            hist, n_seen = {}, 0
+        for pdf in pdf_iter:
+            vc = pdf["bucket"].value_counts()
+            n_seen += int(vc.sum())
+            for b, n in vc.items():
+                hist[b] = hist.get(b, 0) + int(n)
+        state.update((_json.dumps(hist), n_seen))
+        base = base_by_metric.get(metric, {})
+        tot_cur = float(sum(hist.values())) or 1.0
+        tot_base = float(sum(base.values())) or 1.0
+        psi = 0.0
+        import math
+
+        for b in set(hist) | set(base):
+            p = hist.get(b, 0) / tot_cur + eps
+            q = base.get(b, 0.0) / tot_base + eps
+            psi += (p - q) * math.log(p / q)
+        yield pd.DataFrame(
+            [{"metric": metric, "n_seen": n_seen, "psi": round(psi, 6)}]
+        )
+
+    return rows.groupBy("metric").applyInPandasWithState(
+        _update, out_type, state_type, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_drift_monitor_drain(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    baseline: dict[tuple[str, str], float],
+    eps: float = 1e-4,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain the drift monitor over the files currently present and
+    return the per-epoch update log (epoch_id, metric, n_seen, psi) as a
+    batch DataFrame.  The checkpoint carries the histogram state, so a
+    later drain after new files continues from the accumulated
+    distribution — the streaming analogue of gwv_corpus_drift_psi."""
+    out = str(output_dir).rstrip("/")
+    updates = stream_drift_monitor(
+        spark, input_path, baseline, eps, max_files_per_trigger
+    )
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.withColumn("epoch_id", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(f"{out}/updates")
+
+    q = (
+        updates.writeStream.foreachBatch(_write)
+        .outputMode("update")
+        .option("checkpointLocation", f"{out}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{out}/updates")
+
+
 # ---------------------------------------------------------------- events
 EVENTS_SCHEMA = (
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "

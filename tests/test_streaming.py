@@ -122,6 +122,63 @@ def test_validate_stream_rejects_corpus_scoped_rules(spark, tmp_path):
         )
 
 
+def test_stream_drift_monitor_matches_batch_psi(spark, corpus_df, tmp_path):
+    """The stateful running-PSI stream must converge to exactly the
+    batch snapshot_psi over the full corpus: state accumulates across
+    microbatches (maxFilesPerTrigger=1 forces one epoch per file), and a
+    second drain continues from checkpointed state."""
+    from pyspark.sql.window import Window
+
+    from gwv_spark import derive, stats
+    from gwv_spark.streaming import stream_drift_monitor_drain
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    docs = corpus_df.select("doc_id", "related", "ts", "spans")
+    part1 = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) < 2)
+    part2 = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == 2)
+
+    prepared1 = derive.prepare(part1.select("doc_id", "spans"))
+    snap1 = stats.corpus_snapshot(prepared1, derive.exploded_spans(prepared1))
+    baseline = {
+        (r["metric"], r["bucket"]): r["value"]
+        for r in snap1.collect()
+        if r["metric"] in ("span_len_hist", "kind_freq")
+    }
+
+    part1.coalesce(1).write.mode("overwrite").parquet(str(landing / "d1"))
+    part2.coalesce(1).write.mode("overwrite").parquet(str(landing / "d2"))
+    updates = stream_drift_monitor_drain(
+        spark, str(landing / "*"), str(tmp_path / "drift"), baseline,
+        max_files_per_trigger=1,
+    )
+    # one update row per metric per epoch, epochs advanced past 0
+    assert updates.select("epoch_id").distinct().count() >= 2
+    last = (
+        updates.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("metric").orderBy(F.col("n_seen").desc())
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("metric", "psi")
+    )
+    stream_psi = {r["metric"]: r["psi"] for r in last.collect()}
+
+    prepared_full = derive.prepare(docs.select("doc_id", "spans"))
+    snap_full = stats.corpus_snapshot(
+        prepared_full, derive.exploded_spans(prepared_full)
+    )
+    batch_psi = {
+        r["metric"]: r["psi"]
+        for r in stats.snapshot_psi(snap_full, snap1).collect()
+    }
+    assert set(stream_psi) == {"span_len_hist", "kind_freq"}
+    for m, v in batch_psi.items():
+        assert abs(stream_psi[m] - v) < 1e-5, (m, stream_psi[m], v)
+
+
 def test_stream_events_hourly_matches_batch(spark, tmp_path):
     import os
 
