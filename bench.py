@@ -164,6 +164,22 @@ def main() -> None:
     shutil.rmtree(inc_dir, ignore_errors=True)
     shutil.rmtree(inc_out, ignore_errors=True)
 
+    # streaming tier: drain the doc-local rules (corner/illegal/skew/
+    # dup/naming/order/numexp) over the sf corpus landed as one file
+    # drop — exactly-once checkpointed foreachBatch; measures the
+    # on-arrival validation latency for a corpus-sized batch, end to
+    # end (checkpoint + violations + verdicts + metrics writes).
+    from gwv_spark.streaming import validate_stream_drain
+
+    stream_land = tempfile.mkdtemp(prefix="gwv_bench_strin_")
+    stream_out = tempfile.mkdtemp(prefix="gwv_bench_strout_")
+    shutil.copy(docs_path, f"{stream_land}/drop-000.parquet")
+    t0 = time.time()
+    validate_stream_drain(spark, stream_land, stream_out)
+    timings["stream_validate_doc_local"] = round(time.time() - t0, 3)
+    shutil.rmtree(stream_land, ignore_errors=True)
+    shutil.rmtree(stream_out, ignore_errors=True)
+
     # throughput anchor at a size where executor compute dominates the
     # per-job constant (~50k docs at sf0.1 is overhead-bound): 1M
     # spark-generated docs, sustained = the warmed re-execution
