@@ -1,0 +1,67 @@
+"""Streaming-tier cluster entrypoint: ``spark-submit --py-files
+gwv_spark.zip gwv_spark/stream_job.py --input <landing> --output <dir>``.
+
+Validates newly-landed document parquet files with the DOCUMENT-LOCAL
+rules (gwv_spark.streaming.DOC_LOCAL_RULES) exactly once per file:
+
+- default (no ``--continuous``): drain everything not yet processed and
+  exit — the cron-style catch-up shape; re-running is incremental via
+  the checkpoint under ``<output>/_checkpoint``;
+- ``--continuous "30 seconds"``: keep running, one microbatch per
+  trigger interval, until the process is stopped.
+
+Corpus-scoped rules belong to the batch job (``gwv_spark/job.py
+--resume``); requesting one here fails fast with the same error the
+library API raises.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv: list[str] | None = None, spark=None) -> None:
+    from pyspark.sql import SparkSession
+
+    from gwv_spark.streaming import DOC_LOCAL_RULES, validate_stream
+
+    p = argparse.ArgumentParser(description="gwv_spark streaming validation")
+    p.add_argument("--input", required=True, help="landing dir (or glob) of document parquet files")
+    p.add_argument("--output", required=True, help="output directory (violations/verdicts/metrics + checkpoint)")
+    p.add_argument("--rules", nargs="*", default=None,
+                   help=f"doc-local rule subset (default {DOC_LOCAL_RULES})")
+    p.add_argument("--continuous", default=None, metavar="INTERVAL",
+                   help='run forever with this processingTime trigger, e.g. "30 seconds" (default: drain and exit)')
+    p.add_argument("--max-files-per-trigger", type=int, default=None,
+                   help="bound microbatch size during backfills")
+    p.add_argument("--n-buckets", type=int, default=256)
+    p.add_argument("--ignore-error", action="store_true",
+                   help="quarantine per-record UDF crashes as __error__ rows")
+    args = p.parse_args(argv)
+
+    owns_session = spark is None
+    if owns_session:
+        spark = SparkSession.builder.appName("gwv_spark-stream").getOrCreate()
+
+    q = validate_stream(
+        spark,
+        args.input,
+        args.output,
+        rule_ids=args.rules,
+        ignore_error=args.ignore_error,
+        available_now=args.continuous is None,
+        processing_time=args.continuous,
+        max_files_per_trigger=args.max_files_per_trigger,
+        n_buckets=args.n_buckets,
+    )
+    q.awaitTermination()
+    if owns_session:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

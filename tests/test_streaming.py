@@ -179,6 +179,37 @@ def test_stream_drift_monitor_matches_batch_psi(spark, corpus_df, tmp_path):
         assert abs(stream_psi[m] - v) < 1e-5, (m, stream_psi[m], v)
 
 
+def test_stream_job_cli_drains_and_resumes(spark, corpus_df, tmp_path):
+    """The spark-submit entrypoint: drain validates everything once;
+    a second invocation with the same checkpoint is a no-op; an unknown
+    or corpus-scoped rule fails fast."""
+    from gwv_spark import stream_job
+
+    landing = tmp_path / "landing"
+    out = tmp_path / "out"
+    landing.mkdir()
+    docs = corpus_df.select("doc_id", "related", "ts", "spans").limit(500)
+    docs.coalesce(1).write.mode("overwrite").parquet(str(landing / "d1"))
+
+    argv = ["--input", str(landing / "*"), "--output", str(out),
+            "--rules", "corner", "numexp"]
+    stream_job.main(argv, spark=spark)
+    v1 = spark.read.parquet(str(out / "violations"))
+    assert set(r["rule_id"] for r in v1.select("rule_id").distinct().collect()) \
+        <= {"corner", "numexp"}
+    n1 = v1.count()
+
+    stream_job.main(argv, spark=spark)  # no new files -> no new rows
+    assert spark.read.parquet(str(out / "violations")).count() == n1
+
+    with pytest.raises(ValueError, match="mustrenew"):
+        stream_job.main(
+            ["--input", str(landing / "*"), "--output", str(out),
+             "--rules", "mustrenew"],
+            spark=spark,
+        )
+
+
 def test_stream_events_hourly_matches_batch(spark, tmp_path):
     import os
 
