@@ -43,14 +43,25 @@ def make_context(
     dims: dict[str, DataFrame] | None = None,
     cache: bool = False,
     ignore_error: bool = False,
+    resolve_entity: bool = True,
 ) -> RuleContext:
     """cache=True persists the prepared docs and the exploded+parsed
     spans before the rule plans run.  Every rule branch reuses the
     materialized parse instead of re-deriving it (Catalyst does not CSE
     across union branches); on a real deployment the same effect comes
     from storing the parsed columns in the Iceberg spans table at ingest,
-    so this is the faithful execution shape, not a bench trick."""
-    docs = derive.with_entity(derive.prepare(documents))
+    so this is the faithful execution shape, not a bench trick.
+
+    resolve_entity=False skips the alias-dereference corpus self join
+    (derive.with_entity) — the ONE shuffle in context build.  Only valid
+    when every rule that will run is document-local (none reads the
+    entity/entity_exists/raw_entity columns); the streaming tier's
+    doc-local microbatches use this, making the whole per-batch plan
+    shuffle-free.  A rule that does read entity columns then fails
+    loudly at analysis time (missing column), never silently."""
+    docs = derive.prepare(documents)
+    if resolve_entity:
+        docs = derive.with_entity(docs)
     spans = derive.exploded_spans(docs)
     if cache:
         # materialize eagerly: concurrent rule jobs launched against a

@@ -135,10 +135,18 @@ def validate_stream(
             )
     out = str(output_dir).rstrip("/")
 
+    # doc-local rules never read the entity columns, so the microbatch
+    # context skips the alias-dereference self join — the validation
+    # plans are then shuffle-free narrow maps over the landed files
+    # (only the verdict rollup still aggregates, by bucket).  With the
+    # corpus-scoped opt-in the join is kept.
+    all_local = all(r in DOC_LOCAL_RULES for r in rids)
+
     def _process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         t0 = time.monotonic()
         ctx = engine.make_context(
-            spark, batch_df, cache=True, ignore_error=ignore_error
+            spark, batch_df, cache=True, ignore_error=ignore_error,
+            resolve_entity=not all_local,
         )
         try:
             v = (

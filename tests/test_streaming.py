@@ -112,6 +112,25 @@ def test_validate_stream_exactly_once_and_incremental(spark, corpus_df, tmp_path
     assert verdicts.count() > 0
 
 
+def test_doc_local_plans_shuffle_free_without_entity_resolution(spark, corpus_df):
+    """With resolve_entity=False (the streaming microbatch context) every
+    doc-local rule must compile to a narrow, shuffle-free plan — zero
+    Exchange operators.  This is the property that makes the stream tier
+    embarrassingly parallel at any batch size."""
+    from gwv_spark import engine
+    from gwv_spark.rules import RULES, load_all_rules
+    from gwv_spark.streaming import DOC_LOCAL_RULES
+
+    load_all_rules()
+    ctx = engine.make_context(
+        spark, corpus_df.select("doc_id", "spans"),
+        cache=False, resolve_entity=False,
+    )
+    for rid in DOC_LOCAL_RULES:
+        plan = RULES[rid](ctx)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{rid} plan shuffles:\n{plan[:2000]}"
+
+
 def test_validate_stream_rejects_corpus_scoped_rules(spark, tmp_path):
     from gwv_spark.streaming import validate_stream
 
