@@ -229,6 +229,52 @@ def test_stream_job_cli_drains_and_resumes(spark, corpus_df, tmp_path):
         )
 
 
+def test_two_tier_stream_plus_batch_covers_full_suite(spark, corpus_df, tmp_path):
+    """The deployment architecture end to end: the stream tier validates
+    doc-local rules on arrival (two file drops, exactly-once), the batch
+    job validates the corpus-scoped rules per snapshot — their union
+    must equal the full 18-rule batch suite over the same corpus, with
+    no rule lost between the tiers."""
+    from gwv_spark import engine, job as jobmod
+    from gwv_spark.rules import ALL_RULE_IDS
+    from gwv_spark.streaming import (
+        CORPUS_SCOPED_RULES,
+        validate_stream_drain,
+    )
+
+    landing = tmp_path / "landing"
+    sout = tmp_path / "stream_out"
+    bout = tmp_path / "batch_out"
+    landing.mkdir()
+    docs = corpus_df.select("doc_id", "related", "ts", "spans")
+    part1 = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    part2 = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+
+    # stream tier: two drops, drained as they land
+    part1.coalesce(1).write.mode("overwrite").parquet(str(landing / "d1"))
+    validate_stream_drain(spark, str(landing / "*"), str(sout))
+    part2.coalesce(1).write.mode("overwrite").parquet(str(landing / "d2"))
+    validate_stream_drain(spark, str(landing / "*"), str(sout))
+    stream_v = spark.read.parquet(str(sout / "violations"))
+
+    # batch tier: the corpus-scoped rules over the full snapshot
+    corpus_path = tmp_path / "corpus"
+    docs.select("doc_id", "spans").write.mode("overwrite").parquet(
+        str(corpus_path)
+    )
+    jobmod.main(
+        ["--input", str(corpus_path), "--output", str(bout),
+         "--rules", *CORPUS_SCOPED_RULES, "--n-buckets", "32"],
+        spark=spark,
+    )
+    batch_v = spark.read.parquet(str(bout / "violations"))
+
+    combined = _rows(stream_v, drop=("epoch_id",)) | _rows(batch_v)
+    ctx = engine.make_context(spark, docs.select("doc_id", "spans"), cache=False)
+    full = _rows(engine.run_rules(ctx, ALL_RULE_IDS))
+    assert combined == full
+
+
 def test_stream_events_hourly_matches_batch(spark, tmp_path):
     import os
 
