@@ -171,14 +171,21 @@ def main() -> None:
     # end (checkpoint + violations + verdicts + metrics writes).
     from gwv_spark.streaming import validate_stream_drain
 
-    stream_land = tempfile.mkdtemp(prefix="gwv_bench_strin_")
-    stream_out = tempfile.mkdtemp(prefix="gwv_bench_strout_")
-    shutil.copy(docs_path, f"{stream_land}/drop-000.parquet")
-    t0 = time.time()
-    validate_stream_drain(spark, stream_land, stream_out)
-    timings["stream_validate_doc_local"] = round(time.time() - t0, 3)
-    shutil.rmtree(stream_land, ignore_errors=True)
-    shutil.rmtree(stream_out, ignore_errors=True)
+    # min-of-2 like every other entry (fresh landing + checkpoint each,
+    # so both runs do the full first-drain work; the first also pays
+    # python-worker spin-up)
+    stream_runs = []
+    for _ in range(2):
+        stream_land = tempfile.mkdtemp(prefix="gwv_bench_strin_")
+        stream_out = tempfile.mkdtemp(prefix="gwv_bench_strout_")
+        shutil.copy(docs_path, f"{stream_land}/drop-000.parquet")
+        t0 = time.time()
+        validate_stream_drain(spark, stream_land, stream_out)
+        stream_runs.append(time.time() - t0)
+        shutil.rmtree(stream_land, ignore_errors=True)
+        shutil.rmtree(stream_out, ignore_errors=True)
+    timings["stream_validate_doc_local"] = round(min(stream_runs), 3)
+    cold_samples["stream_validate_doc_local"] = round(stream_runs[0], 3)
 
     # throughput anchor at a size where executor compute dominates the
     # per-job constant (~50k docs at sf0.1 is overhead-bound): 1M
