@@ -105,16 +105,23 @@ def validate_stream(
     """Start the streaming validation query; returns the StreamingQuery.
 
     Per microbatch (foreachBatch — the rule plans need the whole batch
-    for their groupBys and Arrow UDFs, and idempotent parquet appends
-    keyed by the checkpoint give end-to-end exactly-once):
+    for their groupBys and Arrow UDFs).  Every sink is partitioned by
+    ``epoch_id`` and written with DYNAMIC partition overwrite, which is
+    what makes the pipeline end-to-end exactly-once: the checkpoint's
+    file index guarantees each landed file maps to exactly one epoch,
+    and a retried epoch (batch failed after a partial write, before the
+    checkpoint committed) OVERWRITES its own epoch partitions instead of
+    appending duplicates — a plain ``append`` here would only be
+    at-least-once.  (Sound because the rule plans are deterministic over
+    the epoch's fixed file set, so a retry reproduces the same rows.)
 
-    - violations → ``<output>/violations/rule_id=<id>/`` with an
-      ``epoch_id`` column (same schema as the batch job's sink plus the
-      epoch — a reader unions both tiers' directories);
+    - violations → ``<output>/violations/epoch_id=<n>/rule_id=<id>/``
+      (same schema as the batch job's sink plus the epoch — a reader
+      unions both tiers' directories);
     - per-(bucket, rule) verdicts for the batch's docs →
-      ``<output>/verdicts`` (run_id = ``epoch=<n>``);
-    - one metrics row per epoch → ``<output>/metrics`` (lineage: which
-      epoch validated how many docs, how long it took).
+      ``<output>/verdicts/epoch_id=<n>/`` (run_id = ``epoch=<n>``);
+    - one metrics row per epoch → ``<output>/metrics/epoch_id=<n>/``
+      (lineage: which epoch validated how many docs, how long it took).
 
     ``available_now=True`` drains everything not yet processed and stops
     — the incremental-batch shape (cron-style catch-up).  With
@@ -141,45 +148,12 @@ def validate_stream(
     # (only the verdict rollup still aggregates, by bucket).  With the
     # corpus-scoped opt-in the join is kept.
     all_local = all(r in DOC_LOCAL_RULES for r in rids)
-
-    def _process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        t0 = time.monotonic()
-        ctx = engine.make_context(
-            spark, batch_df, cache=True, ignore_error=ignore_error,
-            resolve_entity=not all_local,
-        )
-        try:
-            v = (
-                engine.run_rules(ctx, rids)
-                .withColumn("epoch_id", F.lit(int(epoch_id)))
-                .persist()
-            )
-            try:
-                v.write.mode("append").partitionBy("rule_id").parquet(
-                    f"{out}/violations"
-                )
-                run_id = f"epoch={int(epoch_id)}"
-                verdicts = engine.partition_verdicts(
-                    ctx.docs,
-                    v.where(F.col("errcode") != "__error__"),
-                    n_buckets=n_buckets,
-                    run_id=run_id,
-                )
-                verdicts.write.mode("append").parquet(f"{out}/verdicts")
-                n_docs = ctx.docs.count()  # cached — no recompute
-                n_vio = v.count()
-                metrics = spark.createDataFrame(
-                    [(run_id, int(epoch_id), n_docs, n_vio,
-                      round(time.monotonic() - t0, 3))],
-                    "run_id STRING, epoch_id BIGINT, n_docs BIGINT, "
-                    "n_violations BIGINT, wall_s DOUBLE",
-                )
-                metrics.write.mode("append").parquet(f"{out}/metrics")
-            finally:
-                v.unpersist()
-        finally:
-            ctx.docs.unpersist()
-            ctx.spans.unpersist()
+    _process_batch = make_batch_processor(
+        spark, out, rids,
+        ignore_error=ignore_error,
+        n_buckets=n_buckets,
+        resolve_entity=not all_local,
+    )
 
     stream = read_document_stream(spark, input_path, max_files_per_trigger)
     writer = (
@@ -192,6 +166,80 @@ def validate_stream(
     elif processing_time is not None:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def make_batch_processor(
+    spark: SparkSession,
+    out: str,
+    rids: list[str],
+    ignore_error: bool = False,
+    n_buckets: int = 256,
+    resolve_entity: bool = True,
+):
+    """The foreachBatch body of :func:`validate_stream`, exposed so the
+    epoch-retry idempotency property is directly testable: calling the
+    returned function twice with the SAME (batch, epoch_id) — what Spark
+    does when an epoch fails after a partial sink write and is retried
+    from the checkpoint — must leave the sinks exactly as one call
+    would."""
+
+    def _process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        t0 = time.monotonic()
+        ctx = engine.make_context(
+            spark, batch_df, cache=True, ignore_error=ignore_error,
+            resolve_entity=resolve_entity,
+        )
+        try:
+            v = (
+                engine.run_rules(ctx, rids)
+                .withColumn("epoch_id", F.lit(int(epoch_id)))
+                .persist()
+            )
+            try:
+                # mode=overwrite + dynamic partitionOverwriteMode: only
+                # the partitions present in THIS epoch's output are
+                # replaced — an epoch retry is idempotent, other epochs
+                # untouched (exactly-once; see the docstring).
+                (
+                    v.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("epoch_id", "rule_id")
+                    .parquet(f"{out}/violations")
+                )
+                run_id = f"epoch={int(epoch_id)}"
+                verdicts = engine.partition_verdicts(
+                    ctx.docs,
+                    v.where(F.col("errcode") != "__error__"),
+                    n_buckets=n_buckets,
+                    run_id=run_id,
+                ).withColumn("epoch_id", F.lit(int(epoch_id)))
+                (
+                    verdicts.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("epoch_id")
+                    .parquet(f"{out}/verdicts")
+                )
+                n_docs = ctx.docs.count()  # cached — no recompute
+                n_vio = v.count()
+                metrics = spark.createDataFrame(
+                    [(run_id, int(epoch_id), n_docs, n_vio,
+                      round(time.monotonic() - t0, 3))],
+                    "run_id STRING, epoch_id BIGINT, n_docs BIGINT, "
+                    "n_violations BIGINT, wall_s DOUBLE",
+                )
+                (
+                    metrics.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("epoch_id")
+                    .parquet(f"{out}/metrics")
+                )
+            finally:
+                v.unpersist()
+        finally:
+            ctx.docs.unpersist()
+            ctx.spans.unpersist()
+
+    return _process_batch
 
 
 def validate_stream_drain(spark: SparkSession, input_path: str,
@@ -328,9 +376,16 @@ def stream_drift_monitor_drain(
     )
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.withColumn("epoch_id", F.lit(int(epoch_id))).write.mode(
-            "append"
-        ).parquet(f"{out}/updates")
+        # epoch-keyed dynamic overwrite: retried epochs replace their own
+        # partition instead of appending duplicates (same exactly-once
+        # argument as validate_stream)
+        (
+            batch_df.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(f"{out}/updates")
+        )
 
     q = (
         updates.writeStream.foreachBatch(_write)

@@ -112,6 +112,39 @@ def test_validate_stream_exactly_once_and_incremental(spark, corpus_df, tmp_path
     assert verdicts.count() > 0
 
 
+def test_epoch_retry_is_idempotent(spark, corpus_df, tmp_path):
+    """Spark's foreachBatch delivery is at-least-once: an epoch that
+    fails after a partial sink write is retried with the SAME batch and
+    epoch_id.  The epoch-keyed dynamic-partition-overwrite sinks must
+    make that retry a no-op (exactly-once end to end): re-invoking the
+    batch processor with the same (batch, epoch_id) leaves every sink
+    with exactly one epoch's worth of rows — and rows for OTHER epochs
+    are untouched."""
+    from gwv_spark.streaming import DOC_LOCAL_RULES, make_batch_processor
+
+    out = tmp_path / "out"
+    docs = corpus_df.select("doc_id", "related", "ts", "spans")
+    part1 = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    part2 = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+
+    process = make_batch_processor(
+        spark, str(out), list(DOC_LOCAL_RULES), resolve_entity=False
+    )
+    process(part1, 0)
+    process(part2, 1)
+    before = {
+        sink: _rows(spark.read.parquet(str(out / sink)), drop=("wall_s",))
+        for sink in ("violations", "verdicts", "metrics")
+    }
+    assert before["violations"]  # non-trivial corpus
+
+    # the retry: epoch 1 re-delivered verbatim
+    process(part2, 1)
+    for sink in ("violations", "verdicts", "metrics"):
+        after = _rows(spark.read.parquet(str(out / sink)), drop=("wall_s",))
+        assert after == before[sink], f"{sink} changed on epoch retry"
+
+
 def test_doc_local_plans_shuffle_free_without_entity_resolution(spark, corpus_df):
     """With resolve_entity=False (the streaming microbatch context) every
     doc-local rule must compile to a narrow, shuffle-free plan — zero
