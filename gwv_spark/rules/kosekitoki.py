@@ -28,7 +28,12 @@ def kosekitoki(ctx: RuleContext) -> DataFrame:
         .where(F.col("num").startswith("00"))
         .withColumn("koseki_name", F.concat(F.lit("koseki-"), F.expr("substring(num, 3)")))
     )
-    koseki = ctx.docs.select(
+    # The probed key is always 'koseki-' + 6 digits (num is 8 digits
+    # with a '00' prefix), so only doc_ids of exactly that shape can
+    # match — a static, name-structure-guaranteed prefilter that bounds
+    # this side at 10^6 rows REGARDLESS of corpus scale (vs shuffling
+    # the whole corpus's (doc_id, raw_entity) projection).
+    koseki = ctx.docs.where(F.col("doc_id").rlike(r"^koseki-[0-9]{6}$")).select(
         F.col("doc_id").alias("koseki_name"),
         F.col("raw_entity").alias("koseki_raw_entity"),
     )

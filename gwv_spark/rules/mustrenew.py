@@ -35,9 +35,15 @@ def mustrenew(ctx: RuleContext) -> DataFrame:
         )
         .where(F.col("part_full").contains("@"))
     )
-    old_bases = ctx.docs.select(
+    # Only bases whose gdata contains '@' matter: a FALSE row and a
+    # MISSING row both coalesce to is_old=False, so the left join's
+    # right side keeps only the TRUE rows.  That side is version-quote
+    # sparse, so at any corpus scale the join is a broadcast (AQE, from
+    # the measured size) instead of a full-corpus shuffle of
+    # (doc_id, bool) — the quotes side then never shuffles for the join.
+    old_bases = ctx.docs.where(F.col("gdata").contains("@")).select(
         F.col("doc_id").alias("part_base"),
-        F.col("gdata").contains("@").alias("base_is_old"),
+        F.lit(True).alias("base_is_old"),
     )
     j = quotes.join(old_bases, "part_base", "left").withColumn(
         "is_old", F.coalesce(F.col("base_is_old"), F.lit(False))

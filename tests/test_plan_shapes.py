@@ -129,6 +129,32 @@ def test_mustrenew_salted_two_phase_agg(spark, docs_df):
     assert "pmod(xxhash64(doc_id" in plan, "mustrenew lost its salt phase"
 
 
+def test_sparse_join_sides_are_prefiltered(spark, docs_df):
+    """Two corpus joins whose right side is provably sparse must keep
+    the sparsity filter BELOW the join, so the shuffled/broadcast side
+    never carries the whole corpus at 10^12 rows:
+
+    - mustrenew: only bases with '@' in gdata matter (FALSE and MISSING
+      rows coalesce identically), so the probe side is filtered to the
+      version-quote-sparse TRUE rows;
+    - kosekitoki: the probed key is always 'koseki-' + 6 digits, so the
+      probe side is name-shape-filtered (bounded at 10^6 rows by
+      construction)."""
+    from gwv_spark import engine
+    from gwv_spark.rules import RULES, load_all_rules
+
+    import re
+
+    load_all_rules()
+    ctx = engine.make_context(spark, docs_df, cache=False)
+    mr = RULES["mustrenew"](ctx)._jdf.queryExecution().analyzed().toString()
+    assert re.search(r"Filter Contains\(gdata#\d+, @\)", mr), (
+        "mustrenew probe side lost its '@' sparsity filter"
+    )
+    kt = RULES["kosekitoki"](ctx)._jdf.queryExecution().analyzed().toString()
+    assert "koseki-[0-9]{6}" in kt, "kosekitoki probe side lost its name-shape filter"
+
+
 def test_delquote_skewed_hot_key_gets_aqe_skew_split(spark):
     """North-rule skew story, executed: plant ONE part quoted by 50% of
     250k docs, force the RI anti join to its 10^12-catalog shape (no
