@@ -162,16 +162,22 @@ def run_rules_concurrent(
         return dict(ex.map(_timed, ids))
 
 
-def parquet_sink(base_dir: str | Path):
+def parquet_sink(base_dir: str | Path, bucket_group: int | None = None):
     """Per-rule partitioned violations sink (safe under concurrency:
-    each rule overwrites only its own rule_id=<id> subdirectory)."""
+    each rule overwrites only its own rule_id=<id> subdirectory).
+
+    bucket_group, when given, nests each rule's output one hive level
+    deeper (``rule_id=<id>/bucket_group=<g>``) so the write is layout-
+    compatible with a job run under ``--bucket-groups`` (whole-corpus
+    rules use the ``-1`` sentinel there)."""
 
     def write(rid: str, df: DataFrame) -> None:
-        # rule_id lives in the directory name (hive-style partition);
-        # partition discovery restores it on read
-        df.drop("rule_id").write.mode("overwrite").parquet(
-            str(Path(base_dir) / f"rule_id={rid}")
-        )
+        # rule_id (and bucket_group) live in the directory name (hive-
+        # style partitions); partition discovery restores them on read
+        sub = Path(base_dir) / f"rule_id={rid}"
+        if bucket_group is not None:
+            sub = sub / f"bucket_group={bucket_group}"
+        df.drop("rule_id").write.mode("overwrite").parquet(str(sub))
 
     return write
 

@@ -14,6 +14,28 @@ Batch lifecycle (north rule):
    marked complete (per-partition lineage; on Iceberg the ledger is
    keyed by snapshot id instead of the corpus fingerprint).
 
+Per-partition lineage (``--bucket-groups G``, G > 1): the DOCUMENT-LOCAL
+rules (gwv_spark.streaming.DOC_LOCAL_RULES — violations provably depend
+only on the document's own columns) are evaluated in G independent
+corpus slices keyed by ``pmod(xxhash64(doc_id), G)``.  Each slice is one
+action whose committed output is immediately ledger-marked
+``(rule_id, g)``, so a crash loses at most one slice of work instead of
+the whole rule — at the 10^12-doc design point a full doc-local pass is
+hours of executor time and restart-from-zero is not acceptable.  A
+retried / resumed slice is idempotent for the same reason the streaming
+epochs are: rule plans are deterministic over the snapshot-pinned input
+and dynamic partition overwrite replaces exactly the
+``rule_id=<id>/bucket_group=<g>`` partitions the slice recomputes.
+Corpus-scoped rules (referential, alias-dereferencing) are NOT sliceable
+by construction — their violations read other documents — so they run
+full-corpus and are marked with the ``bucket_group = -1`` sentinel.
+
+Layout note: grouped mode hive-partitions violations by
+``(rule_id, bucket_group)``; the default mode keeps the flat
+``rule_id=<id>/`` layout.  One output directory is bound to the layout
+of its first run — don't mix modes in one output dir (Spark's partition
+discovery fails loudly on conflicting depths, never silently).
+
 The driver never collects violation rows; everything is executor-side
 writes.  Rule subset selection mirrors the reference CLI's ``-n``
 (gwv.py:33, validator.py:32-37).
@@ -23,6 +45,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+import time
 from pathlib import Path
 
 from pyspark.sql import functions as F
@@ -30,23 +53,24 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def _clear_rule_partitions(spark, base: str, rule_ids) -> None:
-    """Drop ``<base>/rule_id=<rid>`` for every rule about to be recomputed.
+def _clear_partitions(spark, base: str, relpaths) -> None:
+    """Drop ``<base>/<rel>`` for every partition about to be recomputed.
 
     Dynamic partition overwrite only replaces partitions that receive
     rows, so a rule whose recomputation yields ZERO violations (the goal
     state) would otherwise leave its stale partition from a previous run
     in place — and the read-back would report violations that no longer
-    exist.  Explicitly deleting the recomputed rules' partitions up front
-    makes the fused write's semantics per-rule truncate-and-load while
-    resumed rules' partitions stay untouched.  Hadoop FS API, so it works
-    on any storage backend spark can write to."""
+    exist.  Explicitly deleting the recomputed partitions up front makes
+    the write's semantics truncate-and-load for exactly the recomputed
+    (rule, bucket-group) set while resumed partitions stay untouched.
+    Hadoop FS API, so it works on any storage backend spark can write
+    to."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     path_cls = jvm.org.apache.hadoop.fs.Path
     fs = path_cls(base).getFileSystem(conf)
-    for rid in rule_ids:
-        p = path_cls(f"{base}/rule_id={rid}")
+    for rel in relpaths:
+        p = path_cls(f"{base}/{rel}")
         if fs.exists(p):
             fs.delete(p, True)
 
@@ -74,6 +98,16 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         "planning with executor work (measured ~4x faster when the "
         "driver is the bottleneck); each rule overwrites its own "
         "rule_id=<id> directory unconditionally.",
+    )
+    p.add_argument(
+        "--bucket-groups",
+        type=int,
+        default=1,
+        help="evaluate document-local rules in this many independent "
+        "corpus slices, ledger-marking each slice as it commits — a "
+        "crash/resume loses at most one slice of doc-local work instead "
+        "of a whole rule (see module docstring).  1 = whole-corpus "
+        "actions only (default).",
     )
     p.add_argument("--resume", action="store_true", help="skip completed (rule,bucket)s")
     p.add_argument("--no-cache", action="store_true")
@@ -107,13 +141,6 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     # snapshot id, or a content fingerprint on plain parquet)
     snapshot = catalog.snapshot_id(spark, args.input)
 
-    ctx = engine.make_context(
-        spark,
-        documents,
-        attrs=attrs,
-        cache=not args.no_cache,
-        ignore_error=args.ignore_error,
-    )
     rule_ids = args.rules or ALL_RULE_IDS
     # fail fast on unknown rule ids: a typo'd --rules entry must not get
     # a fabricated metrics row and a rule-complete ledger mark
@@ -121,44 +148,130 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     if unknown:
         raise SystemExit(f"unknown rule ids: {unknown} (known: {ALL_RULE_IDS})")
 
+    groups = max(1, args.bucket_groups)
+    if groups > 1:
+        from gwv_spark.streaming import DOC_LOCAL_RULES
+
+        local = [r for r in rule_ids if r in DOC_LOCAL_RULES]
+        scoped = [r for r in rule_ids if r not in local]
+    else:
+        local, scoped = [], list(rule_ids)
+
     out = args.output.rstrip("/")
+    # an output dir is bound to the slice key of its first run: resuming
+    # with a different --bucket-groups would re-slice under a different
+    # modulus while old slices' partitions survive — duplicate
+    # violations.  Fail fast instead.
+    layout_dir = f"{out}/layout"
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(layout_dir)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path):
+        prior = int(spark.read.json(layout_dir).collect()[0]["bucket_groups"])
+        if prior != groups:
+            raise SystemExit(
+                f"output dir {out} was written with --bucket-groups {prior}; "
+                f"got {groups} — mixed slice keys would duplicate violations"
+            )
+    else:
+        spark.createDataFrame([(groups,)], "bucket_groups INT").coalesce(1).write.json(
+            layout_dir
+        )
     ledger = engine.Ledger(spark, f"{out}/ledger/snapshot={snapshot}")
 
+    done_pairs: set[tuple[str, int]] = set()
     if args.resume:
-        # partition_id == -1 is the rule-complete sentinel; bucket-grain
-        # rows (0..n_buckets-1) allow finer-grained skipping later
-        done = {
-            r["rule_id"]
-            for r in ledger.completed().where("partition_id = -1").collect()
+        done_pairs = {
+            (r["rule_id"], r["partition_id"]) for r in ledger.completed().collect()
         }
-        rule_ids = [r for r in rule_ids if r not in done]
+        scoped = [r for r in scoped if (r, -1) not in done_pairs]
+    # per-slice work list: (rule, g) pairs not yet committed.  A rule
+    # carrying the -1 sentinel (completed whole-corpus) skips all slices.
+    group_todo = {
+        g: [
+            r
+            for r in local
+            if (r, g) not in done_pairs and (r, -1) not in done_pairs
+        ]
+        for g in range(groups)
+    }
+    group_todo = {g: rs for g, rs in group_todo.items() if rs}
+    recomputed = scoped + sorted({r for rs in group_todo.values() for r in rs})
 
-    if rule_ids:
-        # ONE action: the union of all rule plans, written hive-
-        # partitioned by rule_id.  Single job submission; the DAG
-        # scheduler overlaps the independent branch stages, and dynamic
-        # partition overwrite means a resumed run only replaces the
-        # rule_id partitions it actually recomputed.  Recomputed rules'
-        # partitions are truncated first so a now-clean rule doesn't
-        # resurrect stale violations (see _clear_rule_partitions).
-        _clear_rule_partitions(spark, f"{out}/violations", rule_ids)
-        import time as _time
+    # the full context (with the alias-dereference corpus self join) is
+    # only needed by the corpus-scoped rules; a doc-local-only run gets a
+    # light context purely for the verdict rollup's doc counts
+    ctx = engine.make_context(
+        spark,
+        documents,
+        attrs=attrs,
+        cache=(not args.no_cache) and bool(scoped),
+        ignore_error=args.ignore_error,
+        resolve_entity=bool(scoped),
+    )
 
-        t_run = _time.monotonic()
+    grouped_layout = groups > 1
+    vio_dir = f"{out}/violations"
+    rule_secs: dict[str, float] = {}
+    t_run = time.monotonic()
+
+    if scoped:
+        _clear_partitions(spark, vio_dir, [f"rule_id={r}" for r in scoped])
         if args.exec_mode == "concurrent":
             rule_secs = engine.run_rules_concurrent(
-                ctx, rule_ids, sink=engine.parquet_sink(f"{out}/violations")
+                ctx,
+                scoped,
+                sink=engine.parquet_sink(
+                    vio_dir, bucket_group=-1 if grouped_layout else None
+                ),
             )
         else:
-            engine.run_rules(ctx, rule_ids).write.mode("overwrite").partitionBy(
-                "rule_id"
-            ).parquet(f"{out}/violations")
-            # one fused action: per-rule wall time is not separable
-            rule_secs = {}
-        total_secs = round(_time.monotonic() - t_run, 3)
+            vio = engine.run_rules(ctx, scoped)
+            if grouped_layout:
+                vio.withColumn("bucket_group", F.lit(-1)).write.mode(
+                    "overwrite"
+                ).partitionBy("rule_id", "bucket_group").parquet(vio_dir)
+            else:
+                vio.write.mode("overwrite").partitionBy("rule_id").parquet(vio_dir)
+
+    for g in sorted(group_todo):
+        rids_g = group_todo[g]
+        _clear_partitions(
+            spark, vio_dir, [f"rule_id={r}/bucket_group={g}" for r in rids_g]
+        )
+        docs_g = documents.where(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(groups)) == g
+        )
+        # doc-local rules never read entity columns (guarded by
+        # tests/test_streaming.py split-invariance), so the slice context
+        # skips the dereference join — each slice plan is shuffle-free
+        ctx_g = engine.make_context(
+            spark,
+            docs_g,
+            attrs=attrs,
+            cache=not args.no_cache,
+            ignore_error=args.ignore_error,
+            resolve_entity=False,
+        )
+        engine.run_rules(ctx_g, rids_g).withColumn(
+            "bucket_group", F.lit(g)
+        ).write.mode("overwrite").partitionBy("rule_id", "bucket_group").parquet(
+            vio_dir
+        )
+        # mark AFTER the slice's write committed: a crash between write
+        # and mark just recomputes the slice (idempotent, see docstring)
+        ledger.mark(
+            spark.createDataFrame(
+                [(r, g) for r in rids_g], "rule_id STRING, partition_id INT"
+            )
+        )
+        if not args.no_cache:
+            ctx_g.docs.unpersist()
+            ctx_g.spans.unpersist()
+
+    total_secs = round(time.monotonic() - t_run, 3)
 
     try:
-        violations = spark.read.parquet(f"{out}/violations")
+        violations = spark.read.parquet(vio_dir)
     except Exception:
         # a fully clean corpus writes no partition at all — schema
         # inference has nothing to read; the run is simply violation-free
@@ -172,7 +285,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         run_id=args.run_id or snapshot,
     )
     verdicts.write.mode("overwrite").parquet(f"{out}/verdicts")
-    if rule_ids:
+    if recomputed:
         # run-metrics table (north rule: checkpoint + lineage + METRICS):
         # one row per recomputed rule — wall seconds (per-rule under
         # --exec-mode concurrent, total under fused) and the violation
@@ -180,7 +293,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         # run_id + snapshot, so reruns/resumes accumulate an audit trail.
         counts = {
             r["rule_id"]: r["n"]
-            for r in violations.where(F.col("rule_id").isin(rule_ids))
+            for r in violations.where(F.col("rule_id").isin(recomputed))
             .groupBy("rule_id")
             .agg(F.count("*").alias("n"))
             .collect()
@@ -200,17 +313,21 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                     rule_secs.get(rid) is not None,
                     int(counts.get(rid, 0)),
                 )
-                for rid in rule_ids
+                for rid in recomputed
             ],
             "run_id STRING, snapshot STRING, rule_id STRING, "
             "wall_s DOUBLE, run_total_s DOUBLE, per_rule_timing BOOLEAN, "
             "n_violations BIGINT",
         )
         metrics.write.mode("append").parquet(f"{out}/metrics")
-        marks = spark.createDataFrame(
-            [(rid, -1) for rid in rule_ids], "rule_id STRING, partition_id INT"
+    if scoped:
+        # whole-corpus rules carry the -1 sentinel; slice marks were
+        # already written as each slice committed
+        ledger.mark(
+            spark.createDataFrame(
+                [(rid, -1) for rid in scoped], "rule_id STRING, partition_id INT"
+            )
         )
-        ledger.mark(marks)
     ctx.docs.unpersist()
     ctx.spans.unpersist()
     if owns_session:

@@ -317,3 +317,129 @@ def test_incremental_append_new_snapshot_recomputes_and_reproduces(spark, tmp_pa
     # and a second --resume on the SAME snapshot is a pure skip
     job.main(args + ["--resume"], spark=spark)
     assert vio_set(out / "violations") == vio2
+
+
+def test_bucket_groups_matches_ungrouped(spark, tmp_path):
+    """--bucket-groups G: doc-local rules evaluated in G independent
+    corpus slices must land on exactly the ungrouped run's violations;
+    corpus-scoped rules keep the whole-corpus path (bucket_group = -1);
+    the ledger carries one mark per committed (rule, slice)."""
+    data_dir = ensure_corpus(tmp_path / "corpus", 300)
+    inp = str(data_dir / "documents.parquet")
+    rules = ["numexp", "order", "delquote"]  # 2 doc-local + 1 corpus-scoped
+    common = ["--input", inp, "--rules", *rules, "--n-buckets", "16"]
+    job.main(common + ["--output", str(tmp_path / "flat")], spark=spark)
+    job.main(common + ["--output", str(tmp_path / "grp"), "--bucket-groups", "4"],
+             spark=spark)
+
+    flat = spark.read.parquet(str(tmp_path / "flat" / "violations"))
+    grp = spark.read.parquet(str(tmp_path / "grp" / "violations"))
+    assert "bucket_group" in grp.columns
+    g = grp.select(*flat.columns)
+    assert g.exceptAll(flat).count() == 0 and flat.exceptAll(g).count() == 0
+
+    # scoped rule: whole-corpus sentinel slice; local rules: real slices
+    # keyed by pmod(xxhash64(doc_id), G)
+    assert {
+        r["bucket_group"]
+        for r in grp.where("rule_id = 'delquote'").select("bucket_group").collect()
+    } == {-1}
+    local_rows = grp.where("rule_id != 'delquote'")
+    mismatch = local_rows.where(
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4)).cast("int")
+        != F.col("bucket_group")
+    )
+    assert mismatch.count() == 0
+
+    ledger = spark.read.parquet(str(tmp_path / "grp" / "ledger"))
+    marks = {(r["rule_id"], r["partition_id"]) for r in ledger.collect()}
+    assert marks == (
+        {("delquote", -1)}
+        | {("numexp", g) for g in range(4)}
+        | {("order", g) for g in range(4)}
+    )
+
+    # verdict rollup identical to the flat run's
+    vf = spark.read.parquet(str(tmp_path / "flat" / "verdicts")).drop("run_id")
+    vg = spark.read.parquet(str(tmp_path / "grp" / "verdicts")).drop("run_id")
+    assert vf.exceptAll(vg).count() == 0 and vg.exceptAll(vf).count() == 0
+
+
+def test_bucket_groups_mid_rule_resume(spark, tmp_path):
+    """A grouped run that died after committing only some slices, resumed
+    with --resume, recomputes ONLY the missing slices (surviving slice
+    files untouched) and lands on the full violation set."""
+    import os
+
+    data_dir = ensure_corpus(tmp_path / "corpus", 300)
+    inp = str(data_dir / "documents.parquet")
+    out = tmp_path / "out"
+    args = ["--input", inp, "--output", str(out), "--rules", "numexp",
+            "--n-buckets", "16", "--bucket-groups", "4"]
+    job.main(args, spark=spark)
+    full = spark.read.parquet(str(out / "violations")).drop("bucket_group")
+    n_full = full.count()
+    full.write.parquet(str(tmp_path / "expected"))
+
+    # simulate the crash: slices 2 and 3 never committed — drop their
+    # partitions AND their ledger marks (a zero-violation slice has no
+    # partition directory at all; that's fine)
+    import shutil
+
+    for g in (2, 3):
+        d = out / "violations" / "rule_id=numexp" / f"bucket_group={g}"
+        if d.exists():
+            shutil.rmtree(d)
+    ledger_dir = next((out / "ledger").iterdir())
+    kept = [
+        (r["rule_id"], r["partition_id"])
+        for r in spark.read.parquet(str(ledger_dir)).collect()
+        if r["partition_id"] in (0, 1)
+    ]
+    shutil.rmtree(ledger_dir)
+    spark.createDataFrame(kept, "rule_id STRING, partition_id INT").write.parquet(
+        str(ledger_dir)
+    )
+
+    # fingerprint the surviving slices' data files
+    def slice_files(g):
+        d = out / "violations" / "rule_id=numexp" / f"bucket_group={g}"
+        if not d.exists():
+            return {}
+        return {
+            f: os.path.getmtime(d / f) for f in os.listdir(d) if f.endswith(".parquet")
+        }
+
+    before = {g: slice_files(g) for g in (0, 1)}
+
+    job.main(args + ["--resume"], spark=spark)
+
+    resumed = spark.read.parquet(str(out / "violations")).drop("bucket_group")
+    expected = spark.read.parquet(str(tmp_path / "expected"))
+    assert resumed.count() == n_full
+    assert resumed.exceptAll(expected).count() == 0
+    assert expected.exceptAll(resumed).count() == 0
+    marks = {
+        (r["rule_id"], r["partition_id"])
+        for r in spark.read.parquet(str(ledger_dir)).collect()
+    }
+    assert marks == {("numexp", g) for g in range(4)}
+    # completed slices were NOT rewritten
+    for g in (0, 1):
+        assert slice_files(g) == before[g]
+
+
+def test_bucket_groups_modulus_is_pinned(spark, tmp_path):
+    """Re-running an output dir under a different --bucket-groups must
+    fail fast: a different slice modulus over surviving partitions would
+    duplicate violations."""
+    import pytest
+
+    data_dir = ensure_corpus(tmp_path / "corpus", 100)
+    inp = str(data_dir / "documents.parquet")
+    out = str(tmp_path / "out")
+    job.main(["--input", inp, "--output", out, "--rules", "numexp",
+              "--bucket-groups", "4"], spark=spark)
+    with pytest.raises(SystemExit, match="bucket-groups"):
+        job.main(["--input", inp, "--output", out, "--rules", "numexp",
+                  "--bucket-groups", "2", "--resume"], spark=spark)
