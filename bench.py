@@ -142,6 +142,16 @@ def main() -> None:
     timings["job_resume_skip"] = round(time.time() - t0, 3)
     shutil.rmtree(job_out, ignore_errors=True)
 
+    # slice-grain lineage cost: same 3 rules, doc-local ones evaluated in
+    # 8 independently-committed slices (--bucket-groups).  The delta vs
+    # job_3rules_full is the price of mid-rule resumability.
+    grp_out = tempfile.mkdtemp(prefix="gwv_bench_jobgrp_")
+    t0 = time.time()
+    jobmod.main(job_args[:3] + [grp_out] + job_args[4:] + ["--bucket-groups", "8"],
+                spark=spark)
+    timings["job_3rules_grouped8"] = round(time.time() - t0, 3)
+    shutil.rmtree(grp_out, ignore_errors=True)
+
     # incremental-snapshot lifecycle (north rule: resumable + lineage):
     # run on 95% of the corpus, append the held-out 5% as a new data
     # file (new snapshot fingerprint), re-run with --resume — the new

@@ -17,8 +17,11 @@ Batch lifecycle (north rule):
 Per-partition lineage (``--bucket-groups G``, G > 1): the DOCUMENT-LOCAL
 rules (gwv_spark.streaming.DOC_LOCAL_RULES — violations provably depend
 only on the document's own columns) are evaluated in G independent
-corpus slices keyed by ``pmod(xxhash64(doc_id), G)``.  Each slice is one
-action whose committed output is immediately ledger-marked
+corpus slices, each a round-robin group of the snapshot-pinned sorted
+input FILE list (file groups, not hash-of-doc_id groups: a hash
+predicate can't prune the scan, so hash slices would read the corpus G
+times over; file slices together scan it exactly once).  Each slice is
+one action whose committed output is immediately ledger-marked
 ``(rule_id, g)``, so a crash loses at most one slice of work instead of
 the whole rule — at the 10^12-doc design point a full doc-local pass is
 hours of executor time and restart-from-zero is not acceptable.  A
@@ -233,30 +236,46 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             else:
                 vio.write.mode("overwrite").partitionBy("rule_id").parquet(vio_dir)
 
+    if group_todo:
+        # slices are FILE groups, not hash-of-doc_id groups: a hash
+        # predicate cannot prune the scan, so G hash slices would read
+        # the full corpus G times — a non-starter at the 10^12-doc
+        # design point.  Round-robin over the snapshot-pinned sorted
+        # file list gives disjoint slices that together scan the corpus
+        # exactly once, each slice reading only its own files.  The
+        # assignment is deterministic per snapshot (resume is pinned to
+        # it), so a retried slice recomputes exactly the same docs.
+        slice_files = sorted(documents.inputFiles())
     for g in sorted(group_todo):
         rids_g = group_todo[g]
-        _clear_partitions(
-            spark, vio_dir, [f"rule_id={r}/bucket_group={g}" for r in rids_g]
-        )
-        docs_g = documents.where(
-            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(groups)) == g
-        )
-        # doc-local rules never read entity columns (guarded by
-        # tests/test_streaming.py split-invariance), so the slice context
-        # skips the dereference join — each slice plan is shuffle-free
-        ctx_g = engine.make_context(
-            spark,
-            docs_g,
-            attrs=attrs,
-            cache=not args.no_cache,
-            ignore_error=args.ignore_error,
-            resolve_entity=False,
-        )
-        engine.run_rules(ctx_g, rids_g).withColumn(
-            "bucket_group", F.lit(g)
-        ).write.mode("overwrite").partitionBy("rule_id", "bucket_group").parquet(
-            vio_dir
-        )
+        files_g = slice_files[g::groups]
+        if files_g:
+            _clear_partitions(
+                spark, vio_dir, [f"rule_id={r}/bucket_group={g}" for r in rids_g]
+            )
+            docs_g = spark.read.schema(documents.schema).parquet(*files_g)
+            # doc-local rules never read entity columns (guarded by
+            # tests/test_streaming.py split-invariance), so the slice
+            # context skips the dereference join — each slice plan is
+            # shuffle-free
+            ctx_g = engine.make_context(
+                spark,
+                docs_g,
+                attrs=attrs,
+                cache=not args.no_cache,
+                ignore_error=args.ignore_error,
+                resolve_entity=False,
+            )
+            engine.run_rules(ctx_g, rids_g).withColumn(
+                "bucket_group", F.lit(g)
+            ).write.mode("overwrite").partitionBy("rule_id", "bucket_group").parquet(
+                vio_dir
+            )
+            if not args.no_cache:
+                ctx_g.docs.unpersist()
+                ctx_g.spans.unpersist()
+        # (an empty file group — more groups than files — has nothing to
+        # validate and is marked complete directly)
         # mark AFTER the slice's write committed: a crash between write
         # and mark just recomputes the slice (idempotent, see docstring)
         ledger.mark(
@@ -264,9 +283,6 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                 [(r, g) for r in rids_g], "rule_id STRING, partition_id INT"
             )
         )
-        if not args.no_cache:
-            ctx_g.docs.unpersist()
-            ctx_g.spans.unpersist()
 
     total_secs = round(time.monotonic() - t_run, 3)
 

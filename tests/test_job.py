@@ -319,13 +319,23 @@ def test_incremental_append_new_snapshot_recomputes_and_reproduces(spark, tmp_pa
     assert vio_set(out / "violations") == vio2
 
 
+def _multifile_corpus(spark, tmp_path, n_docs, n_files):
+    """The synthetic corpus as an n_files-part parquet directory (file-
+    group slicing needs multiple input files to have anything to slice)."""
+    data_dir = ensure_corpus(tmp_path / "corpus", n_docs)
+    docs = spark.read.parquet(str(data_dir / "documents.parquet"))
+    multi = tmp_path / "docs_multi"
+    docs.repartition(n_files).write.parquet(str(multi))
+    return str(multi)
+
+
 def test_bucket_groups_matches_ungrouped(spark, tmp_path):
     """--bucket-groups G: doc-local rules evaluated in G independent
-    corpus slices must land on exactly the ungrouped run's violations;
-    corpus-scoped rules keep the whole-corpus path (bucket_group = -1);
-    the ledger carries one mark per committed (rule, slice)."""
-    data_dir = ensure_corpus(tmp_path / "corpus", 300)
-    inp = str(data_dir / "documents.parquet")
+    file-group slices must land on exactly the ungrouped run's
+    violations; corpus-scoped rules keep the whole-corpus path
+    (bucket_group = -1); the ledger carries one mark per committed
+    (rule, slice)."""
+    inp = _multifile_corpus(spark, tmp_path, 300, 8)
     rules = ["numexp", "order", "delquote"]  # 2 doc-local + 1 corpus-scoped
     common = ["--input", inp, "--rules", *rules, "--n-buckets", "16"]
     job.main(common + ["--output", str(tmp_path / "flat")], spark=spark)
@@ -338,18 +348,19 @@ def test_bucket_groups_matches_ungrouped(spark, tmp_path):
     g = grp.select(*flat.columns)
     assert g.exceptAll(flat).count() == 0 and flat.exceptAll(g).count() == 0
 
-    # scoped rule: whole-corpus sentinel slice; local rules: real slices
-    # keyed by pmod(xxhash64(doc_id), G)
+    # scoped rule: whole-corpus sentinel slice; local rules: disjoint
+    # file-group slices — every doc's violations land in exactly one
+    # slice, and the work is actually spread over several slices
     assert {
         r["bucket_group"]
         for r in grp.where("rule_id = 'delquote'").select("bucket_group").collect()
     } == {-1}
     local_rows = grp.where("rule_id != 'delquote'")
-    mismatch = local_rows.where(
-        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4)).cast("int")
-        != F.col("bucket_group")
+    per_doc = local_rows.groupBy("doc_id").agg(
+        F.countDistinct("bucket_group").alias("n_slices")
     )
-    assert mismatch.count() == 0
+    assert per_doc.where("n_slices > 1").count() == 0
+    assert local_rows.select("bucket_group").distinct().count() > 1
 
     ledger = spark.read.parquet(str(tmp_path / "grp" / "ledger"))
     marks = {(r["rule_id"], r["partition_id"]) for r in ledger.collect()}
@@ -371,8 +382,7 @@ def test_bucket_groups_mid_rule_resume(spark, tmp_path):
     files untouched) and lands on the full violation set."""
     import os
 
-    data_dir = ensure_corpus(tmp_path / "corpus", 300)
-    inp = str(data_dir / "documents.parquet")
+    inp = _multifile_corpus(spark, tmp_path, 300, 8)
     out = tmp_path / "out"
     args = ["--input", inp, "--output", str(out), "--rules", "numexp",
             "--n-buckets", "16", "--bucket-groups", "4"]
@@ -431,15 +441,18 @@ def test_bucket_groups_mid_rule_resume(spark, tmp_path):
 
 def test_bucket_groups_modulus_is_pinned(spark, tmp_path):
     """Re-running an output dir under a different --bucket-groups must
-    fail fast: a different slice modulus over surviving partitions would
-    duplicate violations."""
+    fail fast: a different slice keying over surviving partitions would
+    duplicate violations.  Also: a single-file input under G=4 runs fine
+    — the three empty file groups are marked complete directly."""
     import pytest
 
     data_dir = ensure_corpus(tmp_path / "corpus", 100)
-    inp = str(data_dir / "documents.parquet")
+    inp = str(data_dir / "documents.parquet")  # ONE parquet file
     out = str(tmp_path / "out")
     job.main(["--input", inp, "--output", out, "--rules", "numexp",
               "--bucket-groups", "4"], spark=spark)
+    ledger = spark.read.parquet(str(tmp_path / "out" / "ledger"))
+    assert {r["partition_id"] for r in ledger.collect()} == {0, 1, 2, 3}
     with pytest.raises(SystemExit, match="bucket-groups"):
         job.main(["--input", inp, "--output", out, "--rules", "numexp",
                   "--bucket-groups", "2", "--resume"], spark=spark)
