@@ -246,9 +246,11 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         # assignment is deterministic per snapshot (resume is pinned to
         # it), so a retried slice recomputes exactly the same docs.
         slice_files = sorted(documents.inputFiles())
+    slice_rows: list[tuple[int, int, float]] = []  # (slice, n_files, wall_s)
     for g in sorted(group_todo):
         rids_g = group_todo[g]
         files_g = slice_files[g::groups]
+        t_slice = time.monotonic()
         if files_g:
             _clear_partitions(
                 spark, vio_dir, [f"rule_id={r}/bucket_group={g}" for r in rids_g]
@@ -283,6 +285,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                 [(r, g) for r in rids_g], "rule_id STRING, partition_id INT"
             )
         )
+        slice_rows.append((g, len(files_g), round(time.monotonic() - t_slice, 3)))
 
     total_secs = round(time.monotonic() - t_run, 3)
 
@@ -336,6 +339,27 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             "n_violations BIGINT",
         )
         metrics.write.mode("append").parquet(f"{out}/metrics")
+    if slice_rows:
+        # per-slice metrics (north rule: per-PARTITION lineage + metrics):
+        # one row per committed slice — wall seconds of the slice's fused
+        # action, its file count, and the violation count read back from
+        # the committed slice partitions.  Appended like the rule metrics.
+        run_id = args.run_id or snapshot
+        slice_counts = {
+            r["bucket_group"]: r["n"]
+            for r in violations.where(F.col("bucket_group") >= 0)
+            .groupBy("bucket_group")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        spark.createDataFrame(
+            [
+                (run_id, snapshot, g, n_files, wall, int(slice_counts.get(g, 0)))
+                for (g, n_files, wall) in slice_rows
+            ],
+            "run_id STRING, snapshot STRING, bucket_group INT, "
+            "n_files INT, wall_s DOUBLE, n_violations BIGINT",
+        ).write.mode("append").parquet(f"{out}/slice_metrics")
     if scoped:
         # whole-corpus rules carry the -1 sentinel; slice marks were
         # already written as each slice committed

@@ -375,6 +375,23 @@ def test_bucket_groups_matches_ungrouped(spark, tmp_path):
     vg = spark.read.parquet(str(tmp_path / "grp" / "verdicts")).drop("run_id")
     assert vf.exceptAll(vg).count() == 0 and vg.exceptAll(vf).count() == 0
 
+    # per-slice metrics: one row per committed slice, wall time recorded,
+    # file counts partition the 8 input files, violation counts read back
+    # from the committed slice partitions
+    sm = {r["bucket_group"]: r
+          for r in spark.read.parquet(str(tmp_path / "grp" / "slice_metrics")).collect()}
+    assert set(sm) == {0, 1, 2, 3}
+    assert sum(r["n_files"] for r in sm.values()) == 8
+    assert all(r["wall_s"] > 0 for r in sm.values())
+    slice_counts = {
+        r["bucket_group"]: r["n"]
+        for r in local_rows.groupBy("bucket_group")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for g_id, row in sm.items():
+        assert row["n_violations"] == slice_counts.get(g_id, 0)
+
 
 def test_bucket_groups_mid_rule_resume(spark, tmp_path):
     """A grouped run that died after committing only some slices, resumed
