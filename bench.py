@@ -197,6 +197,29 @@ def main() -> None:
     timings["stream_validate_doc_local"] = round(min(stream_runs), 3)
     cold_samples["stream_validate_doc_local"] = round(stream_runs[0], 3)
 
+    # incremental RI tier: the sf corpus landed in TWO drops, drained
+    # after each — measures stateful add/retract maintenance of the
+    # delquote/delvar violations (state shuffle + checkpoint included),
+    # the streaming replacement for re-running the batch anti joins per
+    # arrival.  min-of-2 full (land+2 drains) runs.
+    from gwv_spark.streaming import stream_ri_drain
+
+    ri_runs = []
+    for _ in range(2):
+        ri_land = tempfile.mkdtemp(prefix="gwv_bench_riin_")
+        ri_out = tempfile.mkdtemp(prefix="gwv_bench_riout_")
+        half = max(1, tbl.num_rows // 2)
+        pq.write_table(tbl.slice(0, half), f"{ri_land}/drop-000.parquet")
+        t0 = time.time()
+        stream_ri_drain(spark, ri_land, ri_out)
+        pq.write_table(tbl.slice(half), f"{ri_land}/drop-001.parquet")
+        stream_ri_drain(spark, ri_land, ri_out)
+        ri_runs.append(time.time() - t0)
+        shutil.rmtree(ri_land, ignore_errors=True)
+        shutil.rmtree(ri_out, ignore_errors=True)
+    timings["stream_ri_two_drops"] = round(min(ri_runs), 3)
+    cold_samples["stream_ri_two_drops"] = round(ri_runs[0], 3)
+
     # throughput anchor at a size where executor compute dominates the
     # per-job constant (~50k docs at sf0.1 is overhead-bound): 1M
     # spark-generated docs, sustained = the warmed re-execution

@@ -22,14 +22,27 @@ _RE3 = r"^(u[0-9a-f]{4,5}|cdp[on]?-[0-9a-f]{4})-.+$"
 _SKIP_CATS = ["user-owned", "koseki", "toki", "ext", "bsh"]
 
 
+def derived_base(name):  # Column -> Column
+    """The derivation base of a variant name (first matching pattern's
+    group 1), NULL when no pattern matches (delvar.py:25-27)."""
+    m1 = F.regexp_extract(name, _RE1, 1)
+    m2 = F.regexp_extract(name, _RE2, 1)
+    m3 = F.regexp_extract(name, _RE3, 1)
+    return F.when(m1 != "", m1).when(m2 != "", m2).when(m3 != "", m3)
+
+
+def missing_bases(ctx: RuleContext) -> DataFrame:
+    """Flat RI core: (doc_id, base) where the derivation base is absent
+    from the corpus."""
+    docs = ctx.docs.where(~F.col("category").isin(_SKIP_CATS))
+    derived = docs.select("doc_id", derived_base(F.col("doc_id")).alias("base")).where(
+        F.col("base").isNotNull()
+    )
+    catalog = ctx.docs.select(F.col("doc_id").alias("base"))
+    return derived.join(catalog, "base", "left_anti")
+
+
 @rule("delvar")
 def delvar(ctx: RuleContext) -> DataFrame:
-    docs = ctx.docs.where(~F.col("category").isin(_SKIP_CATS))
-    m1 = F.regexp_extract(F.col("doc_id"), _RE1, 1)
-    m2 = F.regexp_extract(F.col("doc_id"), _RE2, 1)
-    m3 = F.regexp_extract(F.col("doc_id"), _RE3, 1)
-    base = F.when(m1 != "", m1).when(m2 != "", m2).when(m3 != "", m3)
-    derived = docs.select("doc_id", base.alias("base")).where(F.col("base").isNotNull())
-    catalog = ctx.docs.select(F.col("doc_id").alias("base"))
-    missing = derived.join(catalog, "base", "left_anti")
+    missing = missing_bases(ctx)
     return shape(missing, "delvar", F.lit("0"), F.array(tag_s(F.col("base"))))

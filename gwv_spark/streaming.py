@@ -17,6 +17,13 @@ Two-tier architecture for a corpus that grows continuously:
   per-batch evaluation would be semantically wrong; they run through the
   resumable snapshot job (``gwv_spark.job --resume``), whose
   incremental-append lifecycle is tested in tests/test_job.py.
+- **Incremental RI tier** (:func:`stream_ri_monitor`) — the two
+  referential rules that are pure existence checks (delquote, delvar)
+  ALSO have a low-latency streaming form: stateful incremental
+  maintenance with retractions, so dangling-reference violations appear
+  on arrival and disappear the moment the referenced document lands,
+  without rescanning the corpus.  The batch tier remains authoritative
+  per snapshot; the RI tier is its constantly-current companion.
 
 Doc-locality is a semantic property, not a guess:
 tests/test_streaming.py::test_doc_local_rules_are_split_invariant runs
@@ -396,6 +403,269 @@ def stream_drift_monitor_drain(
     )
     q.awaitTermination()
     return spark.read.parquet(f"{out}/updates")
+
+
+# ------------------------------------------------- incremental RI tier
+RI_UPDATE_SCHEMA = (
+    "rule_id STRING, probe_key STRING, doc_id STRING, "
+    "detail STRING, op STRING"
+)
+
+# The two referential rules whose verdict is a pure existence check
+# (probe key ∈ doc_id catalog): delquote (reference delquote.py:22-30)
+# and delvar (delvar.py:30-44).  kosekitoki is referential but compares
+# entity VALUES, not existence, so it stays in the batch tier.
+INCREMENTAL_RI_RULES = ["delquote", "delvar"]
+
+
+def _ri_probe_rows(docs: DataFrame) -> DataFrame:
+    """Doc-locally computable probe rows for the incremental RI rules:
+    (rule_id, probe_key, doc_id, detail).
+
+    - delquote: one probe per part quote — key = base name before '@'
+      (the stored span.media_ref), detail = the full quoted name;
+    - delvar: one probe per variant-named doc outside the skip
+      categories — key = detail = the derived base (category is a pure
+      function of doc_id, derive.category, so the gate is doc-local).
+
+    Both extractors mirror the batch cores exactly
+    (rules.delquote.missing_quotes / rules.delvar.missing_bases);
+    tests/test_streaming.py asserts the equivalence per drop."""
+    from gwv_spark import derive, parse
+    from gwv_spark.rules import delvar as delvar_mod
+
+    quotes = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "part")
+        .select(
+            F.lit("delquote").alias("rule_id"),
+            F.col("s.media_ref").alias("probe_key"),
+            "doc_id",
+            parse.part_name_full(F.col("s.text")).alias("detail"),
+        )
+        .where(F.col("detail").isNotNull())
+    )
+    cat = derive.category(F.col("doc_id"))
+    base = delvar_mod.derived_base(F.col("doc_id"))
+    bases = (
+        docs.select("doc_id", cat.alias("category"), base.alias("base"))
+        .where(~F.col("category").isin(delvar_mod._SKIP_CATS))
+        .where(F.col("base").isNotNull())
+        .select(
+            F.lit("delvar").alias("rule_id"),
+            F.col("base").alias("probe_key"),
+            "doc_id",
+            F.col("base").alias("detail"),
+        )
+    )
+    return quotes.unionByName(bases)
+
+
+def stream_ri_monitor(
+    spark: SparkSession,
+    input_path: str,
+    n_shards: int = 1,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental referential-integrity maintenance over the document
+    stream: the streaming counterpart of the batch tier's anti-join RI
+    rules (delquote, delvar), WITH RETRACTIONS.
+
+    The batch tier's verdict for these rules can flip as other documents
+    arrive — a quote of a part that lands later stops being a violation.
+    Plain per-batch evaluation is therefore wrong (validate_stream
+    rejects these rules); this operator instead maintains the RI state
+    incrementally, emitting a change stream:
+
+    - ``op='add'``    — a probe (quote / derived base) whose key is not
+      (yet) a known doc_id: the violation appears;
+    - ``op='retract'`` — a previously-dangling probe whose key just
+      arrived as a document: the violation disappears.
+
+    ``ri_outstanding`` folds the change stream into the current
+    violation set, which equals the batch core over the corpus-so-far
+    after every drain (tested per drop in tests/test_streaming.py).
+
+    Shape: ``applyInPandasWithState`` keyed by
+    ``(rule_id, probe_key, shard)``.  Per key the state is a defined
+    flag plus the pending (doc_id, detail) probes awaiting a definition
+    — i.e. exactly the rows a later retraction must re-emit, nothing
+    more.  Definitions (each arriving doc_id) are replicated to every
+    (rule, shard) of their key; probes route by
+    ``hash(doc_id) % n_shards``.  The shard term exists for hot keys: a
+    part quoted by 20% of all documents (the north rule's skew case)
+    spreads its probe traffic over ``n_shards`` state partitions instead
+    of one straggler task, at the bounded cost of (batch defs ×
+    n_shards) replicated definition rows — batch-sized, never
+    corpus-sized.  Sharded and unsharded runs emit the identical change
+    stream (tested).
+
+    State size is O(defined keys + dangling probes) — the
+    streaming-materialized catalog, inherent to incremental RI (you must
+    remember what exists).  Per-entry payload is a bool + the pending
+    list; at cluster scale back it with the RocksDB state store
+    provider.  Retried epochs replay against the checkpoint-rolled-back
+    state version, so the epoch-keyed overwrite sink in
+    :func:`stream_ri_drain` keeps the pipeline exactly-once end to end
+    (same argument as validate_stream).
+
+    Returns the streaming change DataFrame (RI_UPDATE_SCHEMA); output
+    mode must be ``update``."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    docs = read_document_stream(spark, input_path, max_files_per_trigger)
+    probes = _ri_probe_rows(docs).select(
+        "rule_id",
+        "probe_key",
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        F.lit("probe").alias("row_type"),
+        "doc_id",
+        "detail",
+    )
+    defs = (
+        docs.select(F.col("doc_id").alias("probe_key"))
+        .select(
+            F.explode(
+                F.array(*[F.lit(r) for r in INCREMENTAL_RI_RULES])
+            ).alias("rule_id"),
+            "probe_key",
+        )
+        .select(
+            "rule_id",
+            "probe_key",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(n_shards)])
+            ).alias("shard"),
+            F.lit("def").alias("row_type"),
+            F.lit(None).cast("string").alias("doc_id"),
+            F.lit(None).cast("string").alias("detail"),
+        )
+    )
+    rows = probes.unionByName(defs)
+
+    out_type = StructType(
+        [
+            StructField("rule_id", StringType()),
+            StructField("probe_key", StringType()),
+            StructField("doc_id", StringType()),
+            StructField("detail", StringType()),
+            StructField("op", StringType()),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("defined", BooleanType()),
+            StructField("pending", StringType()),  # json [[doc_id, detail]]
+        ]
+    )
+
+    def _update(key, pdf_iter, state):
+        import json as _json
+
+        rule_id, probe_key = key[0], key[1]
+        if state.exists:
+            defined, pending_json = state.get
+            pending = {tuple(p) for p in _json.loads(pending_json)}
+        else:
+            defined, pending = False, set()
+        batch_def = False
+        batch_probes: set[tuple[str, str]] = set()
+        for pdf in pdf_iter:
+            if (pdf["row_type"] == "def").any():
+                batch_def = True
+            q = pdf[pdf["row_type"] == "probe"]
+            batch_probes.update(zip(q["doc_id"], q["detail"]))
+        out = []
+        if defined or batch_def:
+            if not defined:
+                # the key just came into existence: every pending
+                # violation is retracted (a def in the same batch as a
+                # probe also wins — corpus membership is batch-atomic)
+                out += [
+                    (rule_id, probe_key, d, det, "retract")
+                    for d, det in sorted(pending)
+                ]
+                pending = set()
+            defined = True
+        else:
+            out += [
+                (rule_id, probe_key, d, det, "add")
+                for d, det in sorted(batch_probes - pending)
+            ]
+            pending |= batch_probes
+        state.update((bool(defined), _json.dumps(sorted(pending))))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["rule_id", "probe_key", "doc_id", "detail", "op"]
+            )
+
+    return rows.groupBy("rule_id", "probe_key", "shard").applyInPandasWithState(
+        _update, out_type, state_type, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_ri_drain(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    n_shards: int = 1,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain the incremental RI monitor over the files currently present
+    and return the accumulated change log (epoch_id + RI_UPDATE_SCHEMA)
+    as a batch DataFrame.  The checkpoint carries the (defined, pending)
+    state, so a later drain after new files continues incrementally —
+    only the new documents are scanned.  Epoch-keyed dynamic overwrite
+    makes retried epochs idempotent (exactly-once end to end)."""
+    out = str(output_dir).rstrip("/")
+    updates = stream_ri_monitor(spark, input_path, n_shards, max_files_per_trigger)
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(f"{out}/updates")
+        )
+
+    q = (
+        updates.writeStream.foreachBatch(_write)
+        .outputMode("update")
+        .option("checkpointLocation", f"{out}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # every epoch so far may legitimately have emitted nothing (e.g. all
+    # probes satisfied within their own batch) — an all-empty sink has no
+    # parquet footer to infer from
+    if not any(Path(f"{out}/updates").rglob("*.parquet")):
+        return spark.createDataFrame(
+            [], RI_UPDATE_SCHEMA + ", epoch_id INT"
+        )
+    return spark.read.parquet(f"{out}/updates")
+
+
+def ri_outstanding(updates: DataFrame) -> DataFrame:
+    """Fold the RI change stream into the current violation set:
+    (rule_id, doc_id, detail) rows added and never retracted.  A probe
+    is added at most once and retracted at most once (state dedups), so
+    a left anti join is exact."""
+    adds = updates.where(F.col("op") == "add").select(
+        "rule_id", "doc_id", "detail"
+    )
+    rets = updates.where(F.col("op") == "retract").select(
+        "rule_id", "doc_id", "detail"
+    )
+    return adds.join(rets, ["rule_id", "doc_id", "detail"], "left_anti")
 
 
 # ---------------------------------------------------------------- events

@@ -308,6 +308,153 @@ def test_two_tier_stream_plus_batch_covers_full_suite(spark, corpus_df, tmp_path
     assert combined == full
 
 
+def _write_gdata_drop(spark, path, rows):
+    """rows: [(doc_id, gdata)] → one parquet file matching DOCS_SCHEMA."""
+    from gwv_spark import parse
+
+    df = spark.createDataFrame(rows, "doc_id STRING, gdata STRING").select(
+        "doc_id",
+        F.lit(None).cast("string").alias("related"),
+        F.lit(0.0).alias("ts"),
+        parse.gdata_to_spans(F.col("gdata")).alias("spans"),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(path))
+    return df
+
+
+def _batch_ri_core(spark, docs):
+    """Labeled union of the two batch RI cores over ``docs`` —
+    the ground truth the incremental tier must reproduce."""
+    from gwv_spark import engine
+    from gwv_spark.rules.delquote import missing_quotes
+    from gwv_spark.rules.delvar import missing_bases
+
+    ctx = engine.make_context(spark, docs.select("doc_id", "spans"), cache=False)
+    dq = missing_quotes(ctx).select(
+        F.lit("delquote").alias("rule_id"),
+        "doc_id",
+        F.col("part_full").alias("detail"),
+    )
+    dv = missing_bases(ctx).select(
+        F.lit("delvar").alias("rule_id"), "doc_id", F.col("base").alias("detail")
+    )
+    return dq.unionByName(dv)
+
+
+def test_stream_ri_retraction_semantics(spark, tmp_path):
+    """Deterministic add/retract lifecycle: a dangling quote and a
+    dangling variant base become violations on arrival and are RETRACTED
+    the moment the referenced document lands; references that are never
+    satisfied stay outstanding.  After each drain the folded view equals
+    the batch RI cores over the corpus-so-far."""
+    from gwv_spark.streaming import ri_outstanding, stream_ri_drain
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "ri")
+
+    # drop 1: u4e00 quotes u4e02@3 (lands in drop 2) and u9999 (never
+    # lands); u4e01-var-001 derives base u4e01 (lands in drop 2)
+    drop1 = [
+        ("u4e00", "99:0:0:10:10:90:90:u4e02@3$99:0:0:10:10:90:90:u9999"),
+        ("u4e01-var-001", "1:0:0:10:10:90:90"),
+    ]
+    d1 = _write_gdata_drop(spark, landing / "d1", drop1)
+    updates = stream_ri_drain(spark, str(landing / "*"), out)
+    # _rows sorts columns by name: (detail, doc_id, rule_id)
+    expect1 = {
+        ("u4e02@3", "u4e00", "delquote"),
+        ("u9999", "u4e00", "delquote"),
+        ("u4e01", "u4e01-var-001", "delvar"),
+    }
+    assert _rows(ri_outstanding(updates)) == expect1
+    assert _rows(ri_outstanding(updates)) == _rows(_batch_ri_core(spark, d1))
+
+    # drop 2: u4e02 and u4e01 land (two retractions); u4e03 adds a fresh
+    # dangling quote of u9999
+    drop2 = [
+        ("u4e02", "1:0:0:10:10:90:90"),
+        ("u4e01", "1:0:0:10:10:90:90"),
+        ("u4e03", "99:0:0:10:10:90:90:u9999"),
+    ]
+    d2 = _write_gdata_drop(spark, landing / "d2", drop2)
+    updates = stream_ri_drain(spark, str(landing / "*"), out)
+    rets = {
+        (r["rule_id"], r["doc_id"], r["detail"])
+        for r in updates.where(F.col("op") == "retract").collect()
+    }
+    assert rets == {
+        ("delquote", "u4e00", "u4e02@3"),
+        ("delvar", "u4e01-var-001", "u4e01"),
+    }
+    expect2 = {
+        ("u9999", "u4e00", "delquote"),
+        ("u9999", "u4e03", "delquote"),
+    }
+    assert _rows(ri_outstanding(updates)) == expect2
+    assert _rows(ri_outstanding(updates)) == _rows(
+        _batch_ri_core(spark, d1.unionByName(d2))
+    )
+
+
+def test_stream_ri_matches_batch_per_drop_on_corpus(spark, corpus_df, tmp_path):
+    """On the generated corpus, landed in three drops: after every drain
+    the folded incremental view must equal the batch anti-join cores over
+    the accumulated documents — the probe extractors cannot drift from
+    the batch rules."""
+    from gwv_spark.streaming import ri_outstanding, stream_ri_drain
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "ri")
+    docs = corpus_df.select("doc_id", "related", "ts", "spans")
+    drops = [
+        docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i) for i in range(3)
+    ]
+    acc = None
+    for i, drop in enumerate(drops):
+        drop.coalesce(1).write.mode("overwrite").parquet(
+            str(landing / f"d{i}")
+        )
+        acc = drop if acc is None else acc.unionByName(drop)
+        updates = stream_ri_drain(spark, str(landing / "*"), out)
+        assert _rows(ri_outstanding(updates)) == _rows(
+            _batch_ri_core(spark, acc)
+        ), f"incremental RI diverged from batch after drop {i}"
+    # the corpus actually exercises retraction (a quoted part landing
+    # after its quoter) — otherwise the per-drop assertions above would
+    # be vacuously add-only
+    assert updates.where(F.col("op") == "retract").count() > 0
+
+
+def test_stream_ri_sharded_equals_unsharded(spark, tmp_path):
+    """n_shards spreads a hot probe key over independent state
+    partitions; the emitted change stream must be identical.  The hot
+    key here: 60 documents all quoting the same missing part, which then
+    lands (60 retractions through 4 shards)."""
+    from gwv_spark.streaming import stream_ri_drain
+
+    hot = [
+        (f"u5{i:03x}", "99:0:0:10:10:90:90:u9998@1") for i in range(60)
+    ]
+    results = {}
+    for shards in (1, 4):
+        landing = tmp_path / f"landing{shards}"
+        landing.mkdir()
+        out = str(tmp_path / f"ri{shards}")
+        _write_gdata_drop(spark, landing / "d1", hot)
+        stream_ri_drain(spark, str(landing / "*"), out, n_shards=shards)
+        _write_gdata_drop(
+            spark, landing / "d2", [("u9998", "1:0:0:10:10:90:90")]
+        )
+        updates = stream_ri_drain(spark, str(landing / "*"), out,
+                                  n_shards=shards)
+        results[shards] = _rows(updates, drop=("epoch_id",))
+    assert results[1] == results[4]
+    n_rets = sum(1 for r in results[4] if "retract" in r)
+    assert n_rets == 60
+
+
 def test_stream_events_hourly_matches_batch(spark, tmp_path):
     import os
 
