@@ -10,9 +10,12 @@ rules (gwv_spark.streaming.DOC_LOCAL_RULES) exactly once per file:
 - ``--continuous "30 seconds"``: keep running, one microbatch per
   trigger interval, until the process is stopped.
 
-Corpus-scoped rules belong to the batch job (``gwv_spark/job.py
---resume``); requesting one here fails fast with the same error the
-library API raises.
+``--ri`` runs the INCREMENTAL RI monitor instead (streaming.
+stream_ri_monitor): delquote/delvar maintained as an add/retract
+change log under ``<output>/updates`` (``--ri-shards`` spreads hot
+probe keys).  Corpus-scoped rules requested in the default mode belong
+to the batch job (``gwv_spark/job.py --resume``); requesting one here
+fails fast with the same error the library API raises.
 """
 
 from __future__ import annotations
@@ -27,7 +30,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main(argv: list[str] | None = None, spark=None) -> None:
     from pyspark.sql import SparkSession
 
-    from gwv_spark.streaming import DOC_LOCAL_RULES, validate_stream
+    from gwv_spark.streaming import (
+        DOC_LOCAL_RULES,
+        start_ri_stream,
+        validate_stream,
+    )
 
     p = argparse.ArgumentParser(description="gwv_spark streaming validation")
     p.add_argument("--input", required=True, help="landing dir (or glob) of document parquet files")
@@ -41,23 +48,42 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     p.add_argument("--n-buckets", type=int, default=256)
     p.add_argument("--ignore-error", action="store_true",
                    help="quarantine per-record UDF crashes as __error__ rows")
+    p.add_argument("--ri", action="store_true",
+                   help="run the incremental RI monitor (delquote/delvar "
+                        "add/retract change log) instead of doc-local validation")
+    p.add_argument("--ri-shards", type=int, default=1,
+                   help="state shards per probe key (hot-key spreading)")
     args = p.parse_args(argv)
+    if args.ri and args.rules is not None:
+        p.error("--ri runs the fixed delquote/delvar pair; --rules applies "
+                "only to doc-local validation")
 
     owns_session = spark is None
     if owns_session:
         spark = SparkSession.builder.appName("gwv_spark-stream").getOrCreate()
 
-    q = validate_stream(
-        spark,
-        args.input,
-        args.output,
-        rule_ids=args.rules,
-        ignore_error=args.ignore_error,
-        available_now=args.continuous is None,
-        processing_time=args.continuous,
-        max_files_per_trigger=args.max_files_per_trigger,
-        n_buckets=args.n_buckets,
-    )
+    if args.ri:
+        q = start_ri_stream(
+            spark,
+            args.input,
+            args.output,
+            n_shards=args.ri_shards,
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=args.continuous is None,
+            processing_time=args.continuous,
+        )
+    else:
+        q = validate_stream(
+            spark,
+            args.input,
+            args.output,
+            rule_ids=args.rules,
+            ignore_error=args.ignore_error,
+            available_now=args.continuous is None,
+            processing_time=args.continuous,
+            max_files_per_trigger=args.max_files_per_trigger,
+            n_buckets=args.n_buckets,
+        )
     q.awaitTermination()
     if owns_session:
         spark.stop()

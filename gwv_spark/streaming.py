@@ -611,19 +611,19 @@ def stream_ri_monitor(
     )
 
 
-def stream_ri_drain(
+def start_ri_stream(
     spark: SparkSession,
     input_path: str,
     output_dir: str,
     n_shards: int = 1,
     max_files_per_trigger: int | None = None,
-) -> DataFrame:
-    """Drain the incremental RI monitor over the files currently present
-    and return the accumulated change log (epoch_id + RI_UPDATE_SCHEMA)
-    as a batch DataFrame.  The checkpoint carries the (defined, pending)
-    state, so a later drain after new files continues incrementally —
-    only the new documents are scanned.  Epoch-keyed dynamic overwrite
-    makes retried epochs idempotent (exactly-once end to end)."""
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Start the incremental RI change-log writer; returns the
+    StreamingQuery.  Change rows land under ``<output>/updates``
+    partitioned by epoch_id with dynamic overwrite (retried epochs are
+    idempotent — exactly-once end to end)."""
     out = str(output_dir).rstrip("/")
     updates = stream_ri_monitor(spark, input_path, n_shards, max_files_per_trigger)
 
@@ -636,12 +636,35 @@ def stream_ri_drain(
             .parquet(f"{out}/updates")
         )
 
-    q = (
+    writer = (
         updates.writeStream.foreachBatch(_write)
         .outputMode("update")
         .option("checkpointLocation", f"{out}/_checkpoint")
-        .trigger(availableNow=True)
-        .start()
+        .queryName("gwv-ri-stream")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def stream_ri_drain(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    n_shards: int = 1,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain the incremental RI monitor over the files currently present
+    and return the accumulated change log (epoch_id + RI_UPDATE_SCHEMA)
+    as a batch DataFrame.  The checkpoint carries the (defined, pending)
+    state, so a later drain after new files continues incrementally —
+    only the new documents are scanned."""
+    out = str(output_dir).rstrip("/")
+    q = start_ri_stream(
+        spark, input_path, output_dir, n_shards, max_files_per_trigger,
+        available_now=True,
     )
     q.awaitTermination()
     # every epoch so far may legitimately have emitted nothing (e.g. all

@@ -455,6 +455,34 @@ def test_stream_ri_sharded_equals_unsharded(spark, tmp_path):
     assert n_rets == 60
 
 
+def test_stream_job_cli_ri_mode(spark, tmp_path):
+    """The spark-submit entrypoint's --ri mode writes the add/retract
+    change log; --rules is rejected alongside it (the RI pair is
+    fixed)."""
+    from gwv_spark import stream_job
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = tmp_path / "ri"
+    _write_gdata_drop(
+        spark, landing / "d1", [("u4e00", "99:0:0:10:10:90:90:u9999")]
+    )
+    stream_job.main(
+        ["--input", str(landing / "*"), "--output", str(out), "--ri"],
+        spark=spark,
+    )
+    updates = spark.read.parquet(str(out / "updates"))
+    assert _rows(updates, drop=("epoch_id",)) == {
+        ("u9999", "u4e00", "add", "u9999", "delquote"),
+    }
+
+    with pytest.raises(SystemExit):
+        stream_job.main(
+            ["--input", "x", "--output", "y", "--ri", "--rules", "corner"],
+            spark=spark,
+        )
+
+
 def test_stream_events_hourly_matches_batch(spark, tmp_path):
     import os
 
