@@ -691,6 +691,34 @@ def ri_outstanding(updates: DataFrame) -> DataFrame:
     return adds.join(rets, ["rule_id", "doc_id", "detail"], "left_anti")
 
 
+def ri_outstanding_violations(updates: DataFrame) -> DataFrame:
+    """The outstanding RI set projected onto the VIOLATIONS schema —
+    identical rows to the batch delquote/delvar rules over the same
+    corpus (tested per drop), so readers can union this tier's view
+    with the batch job's sink directly."""
+    from gwv_spark.rules import shape, tag_s
+
+    cur = ri_outstanding(updates)
+    dq = shape(
+        cur.where(F.col("rule_id") == "delquote").select(
+            "doc_id", F.col("detail").alias("part_full")
+        ),
+        "delquote",
+        F.lit("0"),
+        F.array(tag_s(F.col("part_full"))),
+        F.concat(F.col("doc_id"), F.lit("#"), F.col("part_full")),
+    )
+    dv = shape(
+        cur.where(F.col("rule_id") == "delvar").select(
+            "doc_id", F.col("detail").alias("base")
+        ),
+        "delvar",
+        F.lit("0"),
+        F.array(tag_s(F.col("base"))),
+    )
+    return dq.unionByName(dv)
+
+
 # ---------------------------------------------------------------- events
 EVENTS_SCHEMA = (
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "

@@ -426,6 +426,17 @@ def test_stream_ri_matches_batch_per_drop_on_corpus(spark, corpus_df, tmp_path):
     # be vacuously add-only
     assert updates.where(F.col("op") == "retract").count() > 0
 
+    # full violations-schema equivalence: the projected outstanding view
+    # is row-identical to the batch rules, so the two tiers' sinks union
+    from gwv_spark import engine
+    from gwv_spark.rules import RULES, load_all_rules
+    from gwv_spark.streaming import ri_outstanding_violations
+
+    load_all_rules()
+    ctx = engine.make_context(spark, docs.select("doc_id", "spans"), cache=False)
+    batch_v = RULES["delquote"](ctx).unionByName(RULES["delvar"](ctx))
+    assert _rows(ri_outstanding_violations(updates)) == _rows(batch_v)
+
 
 def test_stream_ri_sharded_equals_unsharded(spark, tmp_path):
     """n_shards spreads a hot probe key over independent state
