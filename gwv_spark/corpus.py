@@ -90,7 +90,12 @@ def gen_record(idx: int, n_docs: int, seed: int = DEFAULT_SEED):
     related = "u3013"
 
     if b <= 7:  # 40%: koseki docs — the skewed prefix band
-        name = f"koseki-{idx % 900000:06d}" if idx < 900000 * 20 else f"kx{idx}-x"
+        # doc_id is the TABLE KEY (SURVEY §1.1) — unique at any n.  The
+        # 6-digit koseki numbers (leading 9 reserved: hikanji semantics)
+        # run out at 900000; beyond that the kx fallback keeps the key
+        # property (a wrap-around modulo here duplicated names once the
+        # corpus passed 900k docs).
+        name = f"koseki-{idx:06d}" if idx < 900000 else f"kx{idx}-x"
         if idx % 160 == 3:  # a few deprecated glyphs: alias of do-not-use
             gdata = f"99:0:0:0:0:200:200:{_DNU}"
         elif idx % 80 == 3:  # blank docs
@@ -113,6 +118,11 @@ def gen_record(idx: int, n_docs: int, seed: int = DEFAULT_SEED):
         if idx == 31:
             return "u2ff1", "u3013", "1:0:0:100:20:100:180"
         cp = 0x0041 + (idx // 20) % 0x3000
+        if cp in (0x2FF0, 0x2FF1):
+            # reserved for the two fixed IDC base docs above (idx 11/31)
+            # — remap to codepoints the cp loop never reaches, else the
+            # loop re-mints those names once idx passes ~244k
+            cp = 0x3100 + (cp - 0x2FF0)
         rep = (idx // 20) // 0x3000
         name = f"u{cp:04x}" if rep == 0 else f"u{cp:04x}-var-{rep:03d}"
         r2 = rng.random()
@@ -134,24 +144,29 @@ def gen_record(idx: int, n_docs: int, seed: int = DEFAULT_SEED):
         gdata = "$".join(_strokes(rng, rng.randrange(1, 4)))
     elif b == 13:  # 5%: aliases — valid/dangling/self-nomark/region cases
         base = f"u{0x4E00 + (idx // 20) % 0x5200:04x}"
-        name = f"{base}-itaiji-{100 + (idx // 20) // 0x5200:03d}"
+        w = (idx // 20) // 0x5200  # base wrap counter (0 below ~420k docs)
+        name = f"{base}-itaiji-{100 + w:03d}"
         r2 = rng.random()
         if r2 < 0.10:
             entity = f"none-{idx}"  # dangling
         elif r2 < 0.25:
             entity = base  # aliases its own nomark (ucsalias food)
         elif r2 < 0.32:
-            name = f"{base}-g"  # region-source alias of the nomark
-            entity = base
+            # -g/-jv/-j carry no wrap counter, so they are reserved for
+            # the FIRST base cycle; later cycles take counter-suffixed
+            # itaiji families (300/400/500 bands, disjoint from the 100
+            # and 200 bands) — doc_id stays a true key at any n
+            name = f"{base}-g" if w == 0 else f"{base}-itaiji-{300 + w:03d}"
+            entity = base  # region-source alias of the nomark
         elif r2 < 0.38:
             # -var-2xx: disjoint from bucket-12's -var-1xx names
-            name = f"{base}-var-{200 + (idx // 20) // 0x5200:03d}"
+            name = f"{base}-var-{200 + w:03d}"
             entity = base
         elif r2 < 0.44:  # region tail -jv (j rule: codes 30/5/…)
-            name = f"{base}-jv"
+            name = f"{base}-jv" if w == 0 else f"{base}-itaiji-{400 + w:03d}"
             entity = base
         elif r2 < 0.50:  # region tail -j (j rule: code 40 when no J source)
-            name = f"{base}-j"
+            name = f"{base}-j" if w == 0 else f"{base}-itaiji-{500 + w:03d}"
             entity = base
         else:
             k = (idx // 20) % max(1, _count_in_bucket(n_docs, 8))
@@ -184,7 +199,12 @@ def gen_record(idx: int, n_docs: int, seed: int = DEFAULT_SEED):
                 gdata = f"99:0:0:0:0:200:100:{p1}-03$99:0:0:0:100:200:200:{p2}-04"
     elif b == 15:  # 5%: toki docs, tied to koseki entries
         knum = (idx - 15) % 900000  # koseki docs exist at idx ≡ 0..7 (mod 20)
-        name = f"toki-00{knum:06d}"
+        if idx - 15 < 900000:
+            name = f"toki-00{knum:06d}"
+        else:
+            # '00'-prefixed 8-digit names wrap past 900k docs; the tail
+            # takes a non-'00' prefix (not kosekitoki food, but unique)
+            name = f"toki-{10_000_000 + idx:08d}"
         target = f"koseki-{knum:06d}"
         r2 = rng.random()
         if r2 < 0.70:
@@ -222,7 +242,8 @@ def gen_record(idx: int, n_docs: int, seed: int = DEFAULT_SEED):
     elif b == 18:  # 5%: geometry patterns (dup / skew / corner)
         name = f"geom-{idx}"
         if idx % 9 == 0:  # some under G/T-design names (corner.py:510-511,803-828)
-            name = f"zihai-{idx % 1000000:06d}" if (idx // 20) % 2 == 0 else f"twedu-a{idx:05d}"
+            # no modulo: zihai numbers just grow past 6 digits (unique)
+            name = f"zihai-{idx:06d}" if (idx // 20) % 2 == 0 else f"twedu-a{idx:05d}"
         g = rng.randrange(12)
         if g == 0:  # near-duplicate horizontal pair (dup.py:101-118)
             y = rng.randrange(30, 170)

@@ -486,12 +486,14 @@ def stream_ri_monitor(
     violation set, which equals the batch core over the corpus-so-far
     after every drain (tested per drop in tests/test_streaming.py).
 
-    Shape: ``applyInPandasWithState`` keyed by
-    ``(rule_id, probe_key, shard)``.  Per key the state is a defined
-    flag plus the pending (doc_id, detail) probes awaiting a definition
-    — i.e. exactly the rows a later retraction must re-emit, nothing
-    more.  Definitions (each arriving doc_id) are replicated to every
-    (rule, shard) of their key; probes route by
+    Shape: ``applyInPandasWithState`` keyed by ``(probe_key, shard)``
+    — one state entry serves BOTH rules (pending probes carry their
+    rule tag), because the dominant cost is the per-key Python
+    invocation and definitions vastly outnumber probes.  Per key the
+    state is a defined flag plus the pending (rule, doc_id, detail)
+    probes awaiting a definition — i.e. exactly the rows a later
+    retraction must re-emit, nothing more.  Definitions (each arriving
+    doc_id) replicate to each shard of their key; probes route by
     ``hash(doc_id) % n_shards``.  The shard term exists for hot keys: a
     part quoted by 20% of all documents (the north rule's skew case)
     spreads its probe traffic over ``n_shards`` state partitions instead
@@ -521,32 +523,27 @@ def stream_ri_monitor(
     )
 
     docs = read_document_stream(spark, input_path, max_files_per_trigger)
+    # state is keyed by (probe_key, shard) — NOT per rule: the dominant
+    # streaming cost is the per-key Python invocation of the state
+    # function, and definitions (every arriving doc) vastly outnumber
+    # probes, so folding both rules into one state entry (pending probes
+    # carry their rule tag) halves the keys the executors must call into
+    # Python for.
     probes = _ri_probe_rows(docs).select(
-        "rule_id",
         "probe_key",
         F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
-        F.lit("probe").alias("row_type"),
+        "rule_id",
         "doc_id",
         "detail",
     )
-    defs = (
-        docs.select(F.col("doc_id").alias("probe_key"))
-        .select(
-            F.explode(
-                F.array(*[F.lit(r) for r in INCREMENTAL_RI_RULES])
-            ).alias("rule_id"),
-            "probe_key",
-        )
-        .select(
-            "rule_id",
-            "probe_key",
-            F.explode(
-                F.array(*[F.lit(i) for i in range(n_shards)])
-            ).alias("shard"),
-            F.lit("def").alias("row_type"),
-            F.lit(None).cast("string").alias("doc_id"),
-            F.lit(None).cast("string").alias("detail"),
-        )
+    defs = docs.select(F.col("doc_id").alias("probe_key")).select(
+        "probe_key",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(n_shards)])
+        ).alias("shard"),
+        F.lit(None).cast("string").alias("rule_id"),  # NULL = definition
+        F.lit(None).cast("string").alias("doc_id"),
+        F.lit(None).cast("string").alias("detail"),
     )
     rows = probes.unionByName(defs)
 
@@ -562,26 +559,28 @@ def stream_ri_monitor(
     state_type = StructType(
         [
             StructField("defined", BooleanType()),
-            StructField("pending", StringType()),  # json [[doc_id, detail]]
+            StructField("pending", StringType()),  # json [[rule,doc,detail]]
         ]
     )
 
     def _update(key, pdf_iter, state):
         import json as _json
 
-        rule_id, probe_key = key[0], key[1]
+        probe_key = key[0]
         if state.exists:
             defined, pending_json = state.get
             pending = {tuple(p) for p in _json.loads(pending_json)}
         else:
             defined, pending = False, set()
         batch_def = False
-        batch_probes: set[tuple[str, str]] = set()
+        batch_probes: set[tuple[str, str, str]] = set()
         for pdf in pdf_iter:
-            if (pdf["row_type"] == "def").any():
+            rid = pdf["rule_id"]
+            if rid.isna().any():
                 batch_def = True
-            q = pdf[pdf["row_type"] == "probe"]
-            batch_probes.update(zip(q["doc_id"], q["detail"]))
+            q = pdf[rid.notna()]
+            if len(q):
+                batch_probes.update(zip(q["rule_id"], q["doc_id"], q["detail"]))
         out = []
         if defined or batch_def:
             if not defined:
@@ -589,15 +588,15 @@ def stream_ri_monitor(
                 # violation is retracted (a def in the same batch as a
                 # probe also wins — corpus membership is batch-atomic)
                 out += [
-                    (rule_id, probe_key, d, det, "retract")
-                    for d, det in sorted(pending)
+                    (r, probe_key, d, det, "retract")
+                    for r, d, det in sorted(pending)
                 ]
                 pending = set()
             defined = True
         else:
             out += [
-                (rule_id, probe_key, d, det, "add")
-                for d, det in sorted(batch_probes - pending)
+                (r, probe_key, d, det, "add")
+                for r, d, det in sorted(batch_probes - pending)
             ]
             pending |= batch_probes
         state.update((bool(defined), _json.dumps(sorted(pending))))
@@ -606,7 +605,7 @@ def stream_ri_monitor(
                 out, columns=["rule_id", "probe_key", "doc_id", "detail", "op"]
             )
 
-    return rows.groupBy("rule_id", "probe_key", "shard").applyInPandasWithState(
+    return rows.groupBy("probe_key", "shard").applyInPandasWithState(
         _update, out_type, state_type, "update", GroupStateTimeout.NoTimeout
     )
 
