@@ -618,12 +618,26 @@ def start_ri_stream(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
+    rocksdb_state: bool = False,
 ):
     """Start the incremental RI change-log writer; returns the
     StreamingQuery.  Change rows land under ``<output>/updates``
     partitioned by epoch_id with dynamic overwrite (retried epochs are
-    idempotent — exactly-once end to end)."""
+    idempotent — exactly-once end to end).
+
+    ``rocksdb_state=True`` switches the state store to the RocksDB
+    provider — the deployment setting once the defined-key set outgrows
+    executor heaps (the default HDFS-backed provider holds all state in
+    memory).  The provider is a session-level conf read at query START,
+    so it applies to queries started after this call; the output is
+    identical either way (tested)."""
     out = str(output_dir).rstrip("/")
+    if rocksdb_state:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     updates = stream_ri_monitor(spark, input_path, n_shards, max_files_per_trigger)
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
@@ -654,18 +668,32 @@ def stream_ri_drain(
     output_dir: str,
     n_shards: int = 1,
     max_files_per_trigger: int | None = None,
+    rocksdb_state: bool = False,
 ) -> DataFrame:
     """Drain the incremental RI monitor over the files currently present
     and return the accumulated change log (epoch_id + RI_UPDATE_SCHEMA)
     as a batch DataFrame.  The checkpoint carries the (defined, pending)
     state, so a later drain after new files continues incrementally —
-    only the new documents are scanned."""
+    only the new documents are scanned.  Keep ``rocksdb_state``
+    consistent across drains of one checkpoint (the state format is
+    provider-specific)."""
     out = str(output_dir).rstrip("/")
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
     q = start_ri_stream(
         spark, input_path, output_dir, n_shards, max_files_per_trigger,
-        available_now=True,
+        available_now=True, rocksdb_state=rocksdb_state,
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        if rocksdb_state:
+            # drain-scoped: don't leak the provider into other queries'
+            # (provider-specific) checkpoints in this session
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
     # every epoch so far may legitimately have emitted nothing (e.g. all
     # probes satisfied within their own batch) — an all-empty sink has no
     # parquet footer to infer from

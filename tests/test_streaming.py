@@ -440,29 +440,40 @@ def test_stream_ri_matches_batch_per_drop_on_corpus(spark, corpus_df, tmp_path):
 
 def test_stream_ri_sharded_equals_unsharded(spark, tmp_path):
     """n_shards spreads a hot probe key over independent state
-    partitions; the emitted change stream must be identical.  The hot
-    key here: 60 documents all quoting the same missing part, which then
-    lands (60 retractions through 4 shards)."""
+    partitions, and the RocksDB state-store provider is the setting for
+    state beyond executor heaps; the emitted change stream must be
+    identical under every configuration.  The hot key here: 60
+    documents all quoting the same missing part, which then lands (60
+    retractions through 4 shards)."""
     from gwv_spark.streaming import stream_ri_drain
 
     hot = [
         (f"u5{i:03x}", "99:0:0:10:10:90:90:u9998@1") for i in range(60)
     ]
     results = {}
-    for shards in (1, 4):
-        landing = tmp_path / f"landing{shards}"
+    configs = [(1, False), (4, False), (1, True)]  # (n_shards, rocksdb)
+    for shards, rocksdb in configs:
+        tag = f"{shards}{int(rocksdb)}"
+        landing = tmp_path / f"landing{tag}"
         landing.mkdir()
-        out = str(tmp_path / f"ri{shards}")
+        out = str(tmp_path / f"ri{tag}")
         _write_gdata_drop(spark, landing / "d1", hot)
-        stream_ri_drain(spark, str(landing / "*"), out, n_shards=shards)
+        stream_ri_drain(spark, str(landing / "*"), out, n_shards=shards,
+                        rocksdb_state=rocksdb)
         _write_gdata_drop(
             spark, landing / "d2", [("u9998", "1:0:0:10:10:90:90")]
         )
         updates = stream_ri_drain(spark, str(landing / "*"), out,
-                                  n_shards=shards)
-        results[shards] = _rows(updates, drop=("epoch_id",))
-    assert results[1] == results[4]
-    n_rets = sum(1 for r in results[4] if "retract" in r)
+                                  n_shards=shards, rocksdb_state=rocksdb)
+        results[(shards, rocksdb)] = _rows(updates, drop=("epoch_id",))
+        # the provider conf must not leak out of the drain
+        assert spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        ) is None or "RocksDB" not in spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        )
+    assert results[(1, False)] == results[(4, False)] == results[(1, True)]
+    n_rets = sum(1 for r in results[(4, False)] if "retract" in r)
     assert n_rets == 60
 
 
