@@ -220,6 +220,29 @@ def main() -> None:
     timings["stream_ri_two_drops"] = round(min(ri_runs), 3)
     cold_samples["stream_ri_two_drops"] = round(ri_runs[0], 3)
 
+    # incremental near-dup: the TEXT documents table landed in two
+    # drops, each drain checking arrivals against the corpus-so-far
+    # (per-row SimHash UDF + block-bucket state compare).  min-of-2.
+    from gwv_spark.streaming import stream_simhash_drain
+
+    text_docs = f"{SF_DIR}/documents.parquet"
+    nd_runs = []
+    for _ in range(2):
+        nd_land = tempfile.mkdtemp(prefix="gwv_bench_ndin_")
+        nd_out = tempfile.mkdtemp(prefix="gwv_bench_ndout_")
+        nd_tbl = pq.read_table(text_docs, columns=["doc_id", "text"])
+        half = max(1, nd_tbl.num_rows // 2)
+        pq.write_table(nd_tbl.slice(0, half), f"{nd_land}/drop-000.parquet")
+        t0 = time.time()
+        stream_simhash_drain(spark, nd_land, nd_out)
+        pq.write_table(nd_tbl.slice(half), f"{nd_land}/drop-001.parquet")
+        stream_simhash_drain(spark, nd_land, nd_out)
+        nd_runs.append(time.time() - t0)
+        shutil.rmtree(nd_land, ignore_errors=True)
+        shutil.rmtree(nd_out, ignore_errors=True)
+    timings["stream_simhash_two_drops"] = round(min(nd_runs), 3)
+    cold_samples["stream_simhash_two_drops"] = round(nd_runs[0], 3)
+
     # throughput anchor at a size where executor compute dominates the
     # per-job constant (~50k docs at sf0.1 is overhead-bound): 1M
     # spark-generated docs, sustained = the warmed re-execution

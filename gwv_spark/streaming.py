@@ -746,6 +746,199 @@ def ri_outstanding_violations(updates: DataFrame) -> DataFrame:
     return dq.unionByName(dv)
 
 
+# --------------------------------------------- incremental near-dup
+TEXT_DOCS_SCHEMA = "doc_id BIGINT, text STRING"
+
+
+def _simhash64_py(text: str | None) -> int:
+    """Python mirror of textops.simhash64 (the Catalyst implementation)
+    for the per-row streaming path: whitespace tokens, md5 first 8 bytes
+    big-endian as two 32-bit halves (bits 32-63 from the first half),
+    ±1 votes per bit, ties and token-less docs hash to 0.  Exact
+    equality with the batch expression is asserted in
+    tests/test_streaming.py — the two cannot drift silently."""
+    import hashlib
+    import re
+
+    if not text:
+        return 0
+    toks = [t for t in re.split(r"\s+", text.strip()) if t != ""]
+    votes = [0] * 64
+    for t in toks:
+        h = hashlib.md5(t.encode("utf-8")).hexdigest()
+        hi, lo = int(h[:8], 16), int(h[8:16], 16)
+        for i in range(32):
+            votes[i] += 1 if (lo >> i) & 1 else -1
+            votes[32 + i] += 1 if (hi >> i) & 1 else -1
+    val = 0
+    for i in range(63):
+        if votes[i] > 0:
+            val += 1 << i
+    if votes[63] > 0:
+        val -= 1 << 63
+    return val
+
+
+def stream_simhash_monitor(
+    spark: SparkSession,
+    input_path: str,
+    max_hamming: int = 3,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental near-duplicate detection over a text-document stream
+    (TEXT_DOCS_SCHEMA): each arriving document is checked against the
+    corpus-so-far, emitting (doc_a, doc_b, hamming) the moment the
+    second member of a near-dup pair lands — the streaming counterpart
+    of textops.simhash_near_pairs, for ingestion pipelines that must
+    reject near-dups on arrival instead of at the next full-corpus
+    dedup pass.
+
+    Shape: per-row SimHash (Arrow-batched pandas UDF, exact mirror of
+    the batch Catalyst expression) → block-permutation explode (any
+    pair within Hamming k shares one of k+1 exact 16-bit blocks) →
+    ``applyInPandasWithState`` keyed by (block_id, block_val) whose
+    state is the bucket's (doc_id, simhash) list.  A new doc compares
+    against its bucket's stored signatures plus the batch's own — a
+    64-bit XOR popcount each, so verification cost is per-candidate,
+    never per-corpus.  State size is corpus × (k+1) entries of ~16
+    bytes (the signature IS the state — no text retained); at cluster
+    scale use the RocksDB provider.  A pathological bucket (thousands
+    of mutually-near docs) makes its task's compare loop quadratic —
+    the same degenerate case the batch self-join has; bound it upstream
+    with exact-dup removal if the corpus has mass-duplicated text.
+
+    The change log may repeat a pair discovered through several blocks;
+    ``simhash_pairs_view`` dedups.  Output mode must be ``update``."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    # no type hints: the module's postponed annotations (PEP 563) turn
+    # them into strings the UDF eval-type inference can't resolve;
+    # hint-less pandas_udf defaults to the scalar Series->Series type
+    @F.pandas_udf("long")
+    def simhash_udf(texts):
+        return texts.map(_simhash64_py)
+
+    docs = spark.readStream.schema(TEXT_DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        docs = docs.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    sig = docs.parquet(input_path).select(
+        "doc_id", simhash_udf(F.col("text")).alias("simhash")
+    )
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("block_val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.block_id", "b.block_val")
+
+    out_type = StructType(
+        [
+            StructField("doc_a", LongType()),
+            StructField("doc_b", LongType()),
+            StructField("hamming", IntegerType()),
+        ]
+    )
+    state_type = StructType(
+        [StructField("members", StringType())]  # json [[doc_id, simhash]]
+    )
+    mask = (1 << 64) - 1
+
+    def _update(key, pdf_iter, state):
+        import json as _json
+
+        stored = _json.loads(state.get[0]) if state.exists else []
+        new = set()
+        for pdf in pdf_iter:
+            new.update(zip(pdf["doc_id"].tolist(), pdf["simhash"].tolist()))
+        new = sorted(new)
+        out = []
+        for i, (d1, s1) in enumerate(new):
+            for d2, s2 in stored + new[i + 1:]:
+                if d1 == d2:
+                    continue
+                h = ((s1 ^ s2) & mask).bit_count()
+                if h <= max_hamming:
+                    a, b = (d1, d2) if d1 < d2 else (d2, d1)
+                    out.append((a, b, h))
+        state.update((_json.dumps(stored + new),))
+        if out:
+            yield pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+
+    return blocks.groupBy("block_id", "block_val").applyInPandasWithState(
+        _update, out_type, state_type, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_simhash_drain(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    max_hamming: int = 3,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain the near-dup monitor over the files currently present and
+    return the accumulated pair log (epoch_id, doc_a, doc_b, hamming) as
+    a batch DataFrame.  Same exactly-once sink shape as the RI tier."""
+    out = str(output_dir).rstrip("/")
+    pairs = stream_simhash_monitor(
+        spark, input_path, max_hamming, max_files_per_trigger
+    )
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(f"{out}/pairs")
+        )
+
+    q = (
+        pairs.writeStream.foreachBatch(_write)
+        .outputMode("update")
+        .option("checkpointLocation", f"{out}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not any(Path(f"{out}/pairs").rglob("*.parquet")):
+        return spark.createDataFrame(
+            [], "doc_a BIGINT, doc_b BIGINT, hamming INT, epoch_id INT"
+        )
+    return spark.read.parquet(f"{out}/pairs")
+
+
+def simhash_pairs_view(pair_log: DataFrame) -> DataFrame:
+    """Distinct near-dup pairs from the change log (a pair can be
+    discovered through several shared blocks and therefore logged more
+    than once — same reason the batch implementation dropDuplicates
+    after its block join)."""
+    return pair_log.select("doc_a", "doc_b", "hamming").dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
+
+
 # ---------------------------------------------------------------- events
 EVENTS_SCHEMA = (
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "

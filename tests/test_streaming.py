@@ -505,6 +505,51 @@ def test_stream_job_cli_ri_mode(spark, tmp_path):
         )
 
 
+def test_stream_simhash_near_dup_matches_batch(spark, tmp_path):
+    """Incremental near-dup detection: (1) the per-row Python SimHash
+    must equal the batch Catalyst expression bit-for-bit (they cannot
+    drift silently); (2) after landing the corpus in two drops, the
+    deduped pair log equals the batch simhash_near_pairs over the full
+    table; (3) pairs whose members arrived in DIFFERENT drops are
+    discovered at the second drain — the on-arrival property."""
+    import os
+
+    from gwv_spark import textops
+    from gwv_spark.streaming import (
+        _simhash64_py,
+        simhash_pairs_view,
+        stream_simhash_drain,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    path = f"{sf_dir}/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("testdata not available")
+    df = spark.read.parquet(path).select("doc_id", "text")
+
+    cat = {r["doc_id"]: r["simhash"] for r in textops.simhash64(df).collect()}
+    for r in df.collect():
+        assert _simhash64_py(r["text"]) == cat[r["doc_id"]], r["doc_id"]
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "nd")
+    even = df.where(F.col("doc_id") % 2 == 0)
+    odd = df.where(F.col("doc_id") % 2 == 1)
+    even.coalesce(1).write.parquet(str(landing / "d1"))
+    stream_simhash_drain(spark, str(landing / "*"), out)
+    odd.coalesce(1).write.parquet(str(landing / "d2"))
+    log = stream_simhash_drain(spark, str(landing / "*"), out)
+
+    batch = textops.simhash_near_pairs(df)
+    assert _rows(simhash_pairs_view(log)) == _rows(batch)
+
+    cross_late = log.where(
+        (F.col("epoch_id") >= 1) & (F.col("doc_a") % 2 != F.col("doc_b") % 2)
+    )
+    assert cross_late.count() > 0, "no cross-drop pair discovered on arrival"
+
+
 def test_stream_events_hourly_matches_batch(spark, tmp_path):
     import os
 
