@@ -505,6 +505,65 @@ def test_stream_job_cli_ri_mode(spark, tmp_path):
         )
 
 
+def test_three_tier_deployment_covers_full_suite(spark, corpus_df, tmp_path):
+    """The full deployment story with the incremental RI tier in play:
+    doc-local rules validate on arrival (stream tier), delquote/delvar
+    stay current through the incremental RI monitor (folded to
+    violation rows), and only the REMAINING corpus-scoped rules wait
+    for the batch snapshot job — the union of the three tiers must
+    equal the full 18-rule batch suite, with no rule lost or double-
+    counted between tiers."""
+    from gwv_spark import engine, job as jobmod
+    from gwv_spark.rules import ALL_RULE_IDS
+    from gwv_spark.streaming import (
+        CORPUS_SCOPED_RULES,
+        INCREMENTAL_RI_RULES,
+        ri_outstanding_violations,
+        stream_ri_drain,
+        validate_stream_drain,
+    )
+
+    landing = tmp_path / "landing"
+    sout = tmp_path / "stream_out"
+    riout = str(tmp_path / "ri_out")
+    bout = tmp_path / "batch_out"
+    landing.mkdir()
+    docs = corpus_df.select("doc_id", "related", "ts", "spans")
+    part1 = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    part2 = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+
+    # tiers 1+2 drain after each drop, exactly as deployed
+    part1.coalesce(1).write.mode("overwrite").parquet(str(landing / "d1"))
+    validate_stream_drain(spark, str(landing / "*"), str(sout))
+    stream_ri_drain(spark, str(landing / "*"), riout)
+    part2.coalesce(1).write.mode("overwrite").parquet(str(landing / "d2"))
+    validate_stream_drain(spark, str(landing / "*"), str(sout))
+    ri_updates = stream_ri_drain(spark, str(landing / "*"), riout)
+
+    stream_v = spark.read.parquet(str(sout / "violations"))
+    ri_v = ri_outstanding_violations(ri_updates)
+
+    # tier 3: only the rules neither streaming tier owns
+    rest = [r for r in CORPUS_SCOPED_RULES if r not in INCREMENTAL_RI_RULES]
+    corpus_path = tmp_path / "corpus"
+    docs.select("doc_id", "spans").write.mode("overwrite").parquet(
+        str(corpus_path)
+    )
+    jobmod.main(
+        ["--input", str(corpus_path), "--output", str(bout),
+         "--rules", *rest, "--n-buckets", "32"],
+        spark=spark,
+    )
+    batch_v = spark.read.parquet(str(bout / "violations"))
+
+    combined = (
+        _rows(stream_v, drop=("epoch_id",)) | _rows(ri_v) | _rows(batch_v)
+    )
+    ctx = engine.make_context(spark, docs.select("doc_id", "spans"), cache=False)
+    full = _rows(engine.run_rules(ctx, ALL_RULE_IDS))
+    assert combined == full
+
+
 def test_stream_simhash_near_dup_matches_batch(spark, tmp_path):
     """Incremental near-dup detection: (1) the per-row Python SimHash
     must equal the batch Catalyst expression bit-for-bit (they cannot
