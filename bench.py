@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "stats_ri_lineitem",
     "stats_drift_psi_nchars_by_source",
     "stats_ks_nchars_src0_vs_src1",
+    "stats_tdigest_rank_error",
     "text_exact_dup_groups",
     "text_token_stats",
     "text_langid",

@@ -66,7 +66,11 @@ def numeric_profile(
     """mean/stddev/quantiles for numeric columns, one row per column.
 
     Default (``exact=False``) is the 10^12-row path: percentile_approx
-    (t-digest-style mergeable sketch) and float avg/stddev.  ``exact=True``
+    (Spark's built-in Greenwald-Khanna-family mergeable summary) and
+    float avg/stddev; the literal t-digest sketch the north rule names
+    lives in gwv_spark.sketch.tdigest_quantiles (two-level mapInPandas
+    merge tree, accuracy hash-checked by the stats_tdigest_rank_error
+    registry query).  ``exact=True``
     is the oracle-comparable variant: moments from exact DECIMAL sums
     (no float-summation order sensitivity across engines) and exact
     interpolated percentiles."""

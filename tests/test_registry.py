@@ -101,3 +101,28 @@ def test_oracle_sql_parses_in_duckdb(tmp_path):
             continue
         sql = spec.oracle_fn(sf_dir)
         con.execute(f"EXPLAIN {sql}")  # parses + plans, no execution
+
+
+def test_corner_boxhits_matches_duckdb_mirror(spark):
+    """gwv_corner_boxhits was demoted from the driver registry in round 4
+    (its slot went to stats_tdigest_rank_error once corner gained a full
+    expected-table oracle) — the partial hash check lives on here: the
+    corner rule's tolerance-box hits vs the independent relational
+    mirror gwv_sql.corner_boxhits_sql."""
+    import duckdb
+
+    from gwv_spark import queries as Q
+    from gwv_spark.corpus import ensure_corpus_for_sf_dir
+    from gwv_spark.gwv_sql import corner_boxhits_sql
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not Path(sf_dir).exists():
+        pytest.skip("testdata unavailable")
+    ensure_corpus_for_sf_dir(sf_dir)
+    got = Q.gwv_corner_boxhits_q(spark, sf_dir).toPandas()
+    exp = duckdb.connect().execute(corner_boxhits_sql(Q.synth_docs_sql(sf_dir))).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(exp.columns)
+    got_rows = sorted(map(tuple, got[cols].itertuples(index=False)))
+    exp_rows = sorted(map(tuple, exp[cols].itertuples(index=False)))
+    assert got_rows == exp_rows and len(got_rows) > 0
