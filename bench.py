@@ -175,6 +175,32 @@ def main() -> None:
     shutil.rmtree(inc_dir, ignore_errors=True)
     shutil.rmtree(inc_out, ignore_errors=True)
 
+    # incremental column-stats sketch store (north rule: HLL distinct +
+    # t-digest quantiles, resumable): bootstrap sketches the 95% base,
+    # then a 5% file append is folded in by sketching ONLY the new file;
+    # the append entry includes folding the store back into full-table
+    # stats.  At 10^12 docs the append cost is the appended files' scan,
+    # never the table's.
+    from gwv_spark import sketchstore
+
+    text_docs_path = f"{SF_DIR}/documents.parquet"
+    sk_data = tempfile.mkdtemp(prefix="gwv_bench_skdata_")
+    sk_store = tempfile.mkdtemp(prefix="gwv_bench_skstore_")
+    doc_tbl = pq.read_table(text_docs_path)
+    n95 = int(doc_tbl.num_rows * 0.95)
+    sk_cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    pq.write_table(doc_tbl.slice(0, n95), f"{sk_data}/part-000.parquet")
+    t0 = time.time()
+    sketchstore.update_store(spark, sk_data, sk_store, sk_cols)
+    timings["sketch_store_bootstrap"] = round(time.time() - t0, 3)
+    pq.write_table(doc_tbl.slice(n95), f"{sk_data}/part-001.parquet")
+    t0 = time.time()
+    sketchstore.update_store(spark, sk_data, sk_store, sk_cols)
+    force(sketchstore.stats_from_store(spark, sk_store))
+    timings["sketch_store_append_update"] = round(time.time() - t0, 3)
+    shutil.rmtree(sk_data, ignore_errors=True)
+    shutil.rmtree(sk_store, ignore_errors=True)
+
     # streaming tier: drain the doc-local rules (corner/illegal/skew/
     # dup/naming/order/numexp) over the sf corpus landed as one file
     # drop — exactly-once checkpointed foreachBatch; measures the

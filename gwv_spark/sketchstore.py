@@ -1,0 +1,288 @@
+"""Incremental column-stats sketch store: per-file mergeable sketches.
+
+The north rule requires column-level stats (null rate, distinct count
+via HyperLogLog, min/max/quantiles via t-digest) over a 10^12-document
+Iceberg table that grows by snapshot appends.  Recomputing full-table
+stats per append is a full scan of everything ever written; this module
+instead maintains a STORE of per-file sketch rows:
+
+  - one row per (file, column): exact n / n_null / vmin / vmax, an HLL
+    register array (hll.py), and a t-digest centroid list (sketch.py) —
+    each a few KB regardless of file size;
+  - ``update_store`` diffs the table's current file list against the
+    store and sketches ONLY the new files (the Iceberg-manifest shape:
+    appended snapshots add data files, existing files are immutable);
+  - ``stats_from_store`` folds the KB-sized sketch rows into per-column
+    stats — counts/min/max/HLL fold EXACTLY (sums, maxes, register
+    maxes are order-independent), so incremental results are
+    bit-identical to a one-shot recompute; quantiles carry the t-digest
+    rank-error bound.
+
+Scale shape: stage 1 (sketching a batch of new files) is a zero-shuffle
+``mapInPandas`` over the file scan — one output row per (file-split,
+column), hashing done JVM-side by ``xxhash64`` inside whole-stage
+codegen.  The store itself grows with FILE count, not row count: 10^12
+docs in 10^6 files x 8 columns is ~8M KB-sized rows — a trivially small
+table to fold.  Store writes are idempotent under retry: rows are
+partitioned by a batch_id derived from the new-file list and written
+with dynamic partition overwrite, the same argument as the streaming
+epochs (streaming.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gwv_spark import hll
+from gwv_spark.sketch import Digest
+
+SKETCH_SCHEMA = (
+    "file string, column string, n bigint, n_null bigint, "
+    "vmin double, vmax double, hll binary, "
+    "td_means array<double>, td_weights array<double>"
+)
+
+STATS_SCHEMA = (
+    "column string, n bigint, n_null bigint, null_rate double, "
+    "distinct_est double, vmin double, vmax double, "
+    "p25 double, p50 double, p75 double, n_sketch_rows bigint"
+)
+
+_QS = (0.25, 0.50, 0.75)
+
+
+def _norm_file(path: str) -> str:
+    """Normalize 'file:///x', 'file:/x', '/x' to one spelling so the
+    store's file column and DataFrame.inputFiles() diff cleanly."""
+    if path.startswith("file:"):
+        path = path[5:]
+        while path.startswith("//"):
+            path = path[1:]
+    return path
+
+
+class _ColState:
+    __slots__ = ("n", "n_null", "reg", "digest")
+
+    def __init__(self, p: int, numeric: bool, delta: float):
+        self.n = 0
+        self.n_null = 0
+        self.reg = hll.empty_registers(p)
+        self.digest = Digest(delta) if numeric else None
+
+
+def _numeric_columns(df: DataFrame, columns: Sequence[str]) -> set[str]:
+    num = set()
+    for f in df.schema.fields:
+        if f.name in columns and isinstance(f.dataType, T.NumericType):
+            num.add(f.name)
+    return num
+
+
+def column_sketches(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    p: int = hll.DEFAULT_P,
+    delta: float = 500.0,
+    by_file: bool = False,
+) -> DataFrame:
+    """One mergeable sketch row per (file, column) — a single pass over
+    the scan, zero shuffle (plan-guarded in tests/test_sketchstore.py).
+
+    JVM side emits, per profiled column, ``xxhash64(col)`` + an is-null
+    flag (+ a double cast for numerics); the Arrow batches reaching
+    Python hold only those narrow derived columns, and every update is
+    a whole-array numpy op (hll.accumulate / Digest.add_values)."""
+    cols = list(columns) if columns is not None else [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, (T.NumericType, T.StringType))
+    ]
+    numeric = _numeric_columns(df, cols)
+    proj = [
+        (F.input_file_name() if by_file else F.lit("")).alias("_file")
+    ]
+    for i, c in enumerate(cols):
+        proj.append(F.xxhash64(F.col(c)).alias(f"h{i}"))
+        proj.append(F.isnull(F.col(c)).cast("tinyint").alias(f"z{i}"))
+        if c in numeric:
+            proj.append(F.col(c).cast("double").alias(f"v{i}"))
+    src = df.select(*proj)
+    col_list = list(cols)
+    num_set = set(numeric)
+
+    def gen(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        states: dict[tuple[str, str], _ColState] = {}
+        for pdf in batches:
+            files = pdf["_file"].to_numpy()
+            # a task usually sees one file split; group generally anyway
+            uniq = pd.unique(pdf["_file"])
+            for fname in uniq:
+                mask = files == fname
+                fkey = _norm_file(str(fname))
+                for i, c in enumerate(col_list):
+                    st = states.get((fkey, c))
+                    if st is None:
+                        st = states[(fkey, c)] = _ColState(
+                            p, c in num_set, delta
+                        )
+                    z = pdf[f"z{i}"].to_numpy(dtype="int8")[mask]
+                    h = pdf[f"h{i}"].to_numpy(dtype="int64")[mask]
+                    nonnull = z == 0
+                    st.n += int(z.size)
+                    st.n_null += int(z.sum())
+                    hll.accumulate(st.reg, h[nonnull])
+                    if st.digest is not None:
+                        v = pdf[f"v{i}"].to_numpy(
+                            dtype="float64", na_value=np.nan
+                        )[mask]
+                        st.digest.add_values(v[nonnull])
+        rows = []
+        for (fkey, c), st in states.items():
+            row = st.digest.to_row() if st.digest is not None else None
+            rows.append(
+                {
+                    "file": fkey,
+                    "column": c,
+                    "n": st.n,
+                    "n_null": st.n_null,
+                    "vmin": row["vmin"] if row else None,
+                    "vmax": row["vmax"] if row else None,
+                    "hll": hll.to_bytes(st.reg),
+                    "td_means": row["means"] if row else None,
+                    "td_weights": row["weights"] if row else None,
+                }
+            )
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(gen, SKETCH_SCHEMA)
+
+
+def merged_column_stats(
+    sketches: DataFrame, delta: float = 500.0
+) -> DataFrame:
+    """Fold sketch rows into one stats row per column.  The shuffle
+    moves KB-sized sketch rows grouped by column name — independent of
+    data size; a single hot column costs its merger <= n_sketch_rows
+    small rows, never raw data."""
+
+    def fold(pdf):
+        import pandas as pd
+
+        reg = None
+        d = Digest(delta)
+        n = int(pdf["n"].sum())
+        n_null = int(pdf["n_null"].sum())
+        for raw in pdf["hll"]:
+            r = hll.from_bytes(raw)
+            reg = r if reg is None else hll.merge(reg, r)
+        for means, weights, vmin, vmax, cnt in zip(
+            pdf["td_means"], pdf["td_weights"], pdf["vmin"], pdf["vmax"],
+            pdf["n"] - pdf["n_null"],
+        ):
+            if means is not None and len(means) > 0:
+                d.add_digest(
+                    np.asarray(means), np.asarray(weights),
+                    float(vmin), float(vmax), int(cnt),
+                )
+        qs = d.quantiles(_QS)
+        n_val = n - n_null
+        return pd.DataFrame(
+            [
+                {
+                    "column": pdf["column"].iloc[0],
+                    "n": n,
+                    "n_null": n_null,
+                    "null_rate": (n_null / n) if n else 0.0,
+                    "distinct_est": (
+                        float(hll.estimate(reg)) if n_val else 0.0
+                    ),
+                    "vmin": d.vmin if d.n else None,
+                    "vmax": d.vmax if d.n else None,
+                    "p25": qs[0],
+                    "p50": qs[1],
+                    "p75": qs[2],
+                    "n_sketch_rows": int(len(pdf)),
+                }
+            ]
+        )
+
+    return sketches.groupBy("column").applyInPandas(fold, STATS_SCHEMA)
+
+
+def sketch_column_stats(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    p: int = hll.DEFAULT_P,
+    delta: float = 500.0,
+) -> DataFrame:
+    """One-shot convenience: sketch + fold in a single plan."""
+    return merged_column_stats(column_sketches(df, columns, p, delta), delta)
+
+
+# ------------------------------------------------------------------- store
+
+
+def store_files(spark: SparkSession, store_dir: str) -> set[str]:
+    """File paths already sketched into the store (empty set if the
+    store doesn't exist yet)."""
+    try:
+        got = spark.read.parquet(store_dir).select("file").distinct().collect()
+    except Exception:
+        return set()
+    return {r["file"] for r in got}
+
+
+def update_store(
+    spark: SparkSession,
+    input_path: str,
+    store_dir: str,
+    columns: Sequence[str] | None = None,
+    p: int = hll.DEFAULT_P,
+    delta: float = 500.0,
+) -> dict:
+    """Sketch the table's files NOT yet in the store and append their
+    sketch rows.  Idempotent under retry: the batch is partitioned by a
+    batch_id derived from the sorted new-file list and written with
+    dynamic partition overwrite, so a re-run of the same append
+    overwrites its own partition instead of duplicating rows."""
+    current = sorted(
+        _norm_file(f) for f in spark.read.parquet(input_path).inputFiles()
+    )
+    known = store_files(spark, store_dir)
+    new = [f for f in current if f not in known]
+    if not new:
+        return {"n_new_files": 0, "n_known_files": len(known), "batch_id": None}
+    batch_id = hashlib.sha256("\n".join(new).encode()).hexdigest()[:16]
+    df = spark.read.parquet(*new)
+    sk = column_sketches(df, columns, p, delta, by_file=True)
+    (
+        sk.withColumn("batch_id", F.lit(batch_id))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .mode("overwrite")
+        .parquet(store_dir)
+    )
+    return {
+        "n_new_files": len(new),
+        "n_known_files": len(known),
+        "batch_id": batch_id,
+    }
+
+
+def stats_from_store(
+    spark: SparkSession, store_dir: str, delta: float = 500.0
+) -> DataFrame:
+    """Current full-table stats from the store alone — folds KB-sized
+    sketch rows, never touches the data files."""
+    return merged_column_stats(
+        spark.read.parquet(store_dir).drop("batch_id"), delta
+    )

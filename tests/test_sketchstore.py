@@ -1,0 +1,213 @@
+"""HLL register core + incremental column-stats sketch store.
+
+Properties pinned here:
+
+- HLL accuracy against exact distinct counts (both the linear-counting
+  small range and the raw-estimate large range);
+- merge invariance: register folding is order/grouping-independent, so
+  incremental store stats are BIT-IDENTICAL to a one-shot recompute for
+  n / n_null / vmin / vmax / distinct_est (quantiles carry the t-digest
+  rank bound instead);
+- ``update_store`` sketches only files absent from the store, is a
+  no-op when nothing is new, and its batch write is retry-idempotent;
+- plan shape: the sketching pass is a zero-shuffle mapInPandas over the
+  scan (sketch rows shuffle, data rows never do).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gwv_spark import hll, sketchstore
+
+
+def _hashes(values) -> np.ndarray:
+    """64-bit hashes the way Spark makes them (xxhash64 not available in
+    Python, so tests use a deterministic stand-in: random 64-bit ints
+    keyed by value identity — what HLL assumes of any good hash)."""
+    rng = np.random.default_rng(12345)
+    # one stable hash per distinct value
+    uniq = {v: h for v, h in zip(values, rng.integers(-(2**63), 2**63 - 1, len(values), dtype=np.int64))}
+    return np.array([uniq[v] for v in values], dtype=np.int64)
+
+
+# ------------------------------------------------------------- numpy core
+
+
+def test_hll_small_range_linear_counting():
+    vals = [f"v{i}" for i in range(200)] * 50
+    reg = hll.empty_registers(14)
+    hll.accumulate(reg, _hashes(vals))
+    est = hll.estimate(reg)
+    assert abs(est - 200) / 200 <= 0.01, est
+
+
+def test_hll_large_range_accuracy():
+    n = 300_000
+    rng = np.random.default_rng(7)
+    h = rng.integers(-(2**63), 2**63 - 1, n, dtype=np.int64)
+    reg = hll.empty_registers(14)
+    hll.accumulate(reg, h)
+    est = hll.estimate(reg)
+    # sigma = 1.04/sqrt(16384) = 0.81%; allow 3 sigma
+    assert abs(est - n) / n <= 0.025, est
+
+
+def test_hll_merge_equals_single_pass():
+    rng = np.random.default_rng(11)
+    h = rng.integers(-(2**63), 2**63 - 1, 100_000, dtype=np.int64)
+    whole = hll.empty_registers(12)
+    hll.accumulate(whole, h)
+    merged = hll.empty_registers(12)
+    for part in np.array_split(h, 13):
+        r = hll.empty_registers(12)
+        hll.accumulate(r, part)
+        merged = hll.merge(merged, r)
+    assert np.array_equal(whole, merged)
+    # idempotent: folding a sketch in twice changes nothing
+    assert np.array_equal(hll.merge(merged, whole), merged)
+
+
+def test_hll_roundtrip_bytes():
+    reg = hll.empty_registers(11)
+    hll.accumulate(reg, np.array([123456789, -987654321], dtype=np.int64))
+    assert np.array_equal(hll.from_bytes(hll.to_bytes(reg)), reg)
+
+
+# ------------------------------------------------------------- spark pass
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    """A small mixed table with known exact stats: ints with nulls +
+    strings with repeats, written as 4 parquet files."""
+    n = 20_000
+    df = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 7 == 0, None)
+            .otherwise((F.col("id") % 997).cast("double"))
+            .alias("num"),
+            F.concat(F.lit("k"), (F.col("id") % 1500).cast("string")).alias("key"),
+            F.col("id").cast("double").alias("val"),
+        )
+        .repartition(4)
+    )
+    return df
+
+
+def _stats_by_col(df):
+    rows = df.collect()
+    return {r["column"]: r.asDict() for r in rows}
+
+
+def test_sketch_column_stats_matches_exact(spark, table):
+    got = _stats_by_col(sketchstore.sketch_column_stats(table, ["num", "key", "val"]))
+    n = table.count()
+    exact_null = table.where(F.col("num").isNull()).count()
+    assert got["num"]["n"] == n and got["num"]["n_null"] == exact_null
+    assert got["key"]["n_null"] == 0
+    # HLL within 3 sigma of exact distincts
+    for col, true_d in (("num", 997), ("key", 1500)):
+        est = got[col]["distinct_est"]
+        assert abs(est - true_d) / true_d <= 0.025, (col, est)
+    # exact extremes, quantiles within the t-digest bound
+    assert got["val"]["vmin"] == 0.0 and got["val"]["vmax"] == float(n - 1)
+    for q, key in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+        assert abs(got["val"][key] / (n - 1) - q) <= 0.01
+    # string columns carry no digest
+    assert got["key"]["vmin"] is None
+
+
+def test_sketch_plan_is_shuffle_free_below_stage1(spark):
+    # a clean scan-shaped source (the module-level fixture repartitions,
+    # which plants an Exchange in the INPUT, not the operator)
+    src = spark.range(10_000).select(
+        (F.col("id") % 97).cast("double").alias("num"),
+        F.col("id").cast("string").alias("key"),
+    )
+    out = sketchstore.column_sketches(src, ["num", "key"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    first_map = plan.rfind("MapInPandas")
+    assert first_map != -1
+    below = plan[first_map:]
+    assert "Exchange" not in below and "Sort" not in below
+
+
+def test_store_incremental_equals_one_shot(spark, table, tmp_path):
+    base_dir = str(tmp_path / "data")
+    store = str(tmp_path / "store")
+    table.write.parquet(base_dir)
+
+    r1 = sketchstore.update_store(spark, base_dir, store, ["num", "key", "val"])
+    assert r1["n_new_files"] >= 1 and r1["n_known_files"] == 0
+
+    # append two more files (an Iceberg-append-shaped change)
+    extra = (
+        spark.range(20_000, 26_000)
+        .select(
+            (F.col("id") % 997).cast("double").alias("num"),
+            F.concat(F.lit("x"), (F.col("id") % 400).cast("string")).alias("key"),
+            F.col("id").cast("double").alias("val"),
+        )
+        .repartition(2)
+    )
+    extra.write.mode("append").parquet(base_dir)
+
+    r2 = sketchstore.update_store(spark, base_dir, store, ["num", "key", "val"])
+    assert r2["n_new_files"] == 2, r2
+    assert r2["n_known_files"] == r1["n_new_files"]
+
+    # a third update with nothing new is a pure no-op
+    r3 = sketchstore.update_store(spark, base_dir, store, ["num", "key", "val"])
+    assert r3["n_new_files"] == 0 and r3["batch_id"] is None
+
+    inc = _stats_by_col(sketchstore.stats_from_store(spark, store))
+    full = _stats_by_col(
+        sketchstore.sketch_column_stats(
+            spark.read.parquet(base_dir), ["num", "key", "val"]
+        )
+    )
+    for col in ("num", "key", "val"):
+        # counts/extremes/HLL fold exactly — grouping cannot change them
+        for k in ("n", "n_null", "vmin", "vmax", "distinct_est"):
+            assert inc[col][k] == full[col][k], (col, k, inc[col][k], full[col][k])
+    # quantiles: both sides hold the digest bound vs true ranks
+    vals = np.sort(
+        np.array(spark.read.parquet(base_dir).select("val").toPandas()["val"])
+    )
+    for side in (inc, full):
+        for q, key in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            rank = np.searchsorted(vals, side["val"][key]) / len(vals)
+            assert abs(rank - q) <= 0.015
+
+
+def test_store_retry_is_idempotent(spark, table, tmp_path):
+    data = str(tmp_path / "d")
+    store = str(tmp_path / "s")
+    table.write.parquet(data)
+    r1 = sketchstore.update_store(spark, data, store, ["key"])
+    rows1 = spark.read.parquet(store).count()
+    # simulate a retried batch: re-sketch the SAME file set and rewrite
+    # under the same batch_id (what a replayed task/driver retry does)
+    files = sorted(
+        sketchstore._norm_file(f)
+        for f in spark.read.parquet(data).inputFiles()
+    )
+    sk = sketchstore.column_sketches(spark.read.parquet(*files), ["key"], by_file=True)
+    (
+        sk.withColumn("batch_id", F.lit(r1["batch_id"]))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .mode("overwrite")
+        .parquet(store)
+    )
+    assert spark.read.parquet(store).count() == rows1
+    # and the folded stats still match a fresh one-shot
+    inc = _stats_by_col(sketchstore.stats_from_store(spark, store))
+    full = _stats_by_col(
+        sketchstore.sketch_column_stats(spark.read.parquet(data), ["key"])
+    )
+    assert inc["key"]["distinct_est"] == full["key"]["distinct_est"]
