@@ -201,6 +201,29 @@ def main() -> None:
     shutil.rmtree(sk_data, ignore_errors=True)
     shutil.rmtree(sk_store, ignore_errors=True)
 
+    # IVF ANN (the second scale path next to sign-LSH): coarse-quantizer
+    # training on a bounded sample is timed separately from the probe
+    # path (train once, probe forever — the deployed shape).
+    from pyspark.sql import functions as F
+
+    from gwv_spark import vectorops
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    emb.count()
+    t0 = time.time()
+    cent = vectorops.ivf_train_centroids(emb, dim=64, n_lists=32)
+    timings["vec_ivf_train"] = round(time.time() - t0, 3)
+    ivf_probes = emb.select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    ).limit(50)
+    ivf_runs = []
+    for _ in range(2):
+        t0 = time.time()
+        force(vectorops.ivf_topk(emb, ivf_probes, cent, k=10, nprobe=8))
+        ivf_runs.append(time.time() - t0)
+    timings["vec_ivf_topk"] = round(min(ivf_runs), 3)
+    emb.unpersist()
+
     # streaming tier: drain the doc-local rules (corner/illegal/skew/
     # dup/naming/order/numexp) over the sf corpus landed as one file
     # drop — exactly-once checkpointed foreachBatch; measures the
