@@ -184,6 +184,39 @@ def test_store_incremental_equals_one_shot(spark, table, tmp_path):
             assert abs(rank - q) <= 0.015
 
 
+def test_sketch_job_cli_incremental_lifecycle(spark, table, tmp_path):
+    """spark-submit surface: first run bootstraps, a file append is
+    folded in incrementally, a no-op run still refreshes the stats
+    snapshot; the _stats subdir is invisible to the store's own reads
+    (underscore-prefixed paths are hidden from Spark's file index)."""
+    from gwv_spark import sketch_job, sketchstore
+
+    data = str(tmp_path / "d")
+    store = str(tmp_path / "s")
+    table.write.parquet(data)
+    argv = ["--input", data, "--store", store, "--columns", "num", "key", "val"]
+    sketch_job.main(argv, spark=spark)
+    snap1 = {r["column"]: r["n"] for r in spark.read.parquet(f"{store}/_stats").collect()}
+    assert snap1["key"] == 20_000
+
+    extra = spark.range(20_000, 21_000).select(
+        (F.col("id") % 997).cast("double").alias("num"),
+        F.col("id").cast("string").alias("key"),
+        F.col("id").cast("double").alias("val"),
+    )
+    extra.coalesce(1).write.mode("append").parquet(data)
+    sketch_job.main(argv, spark=spark)
+    snap2 = {r["column"]: r["n"] for r in spark.read.parquet(f"{store}/_stats").collect()}
+    assert snap2["key"] == 21_000
+
+    # no new files: a pure stats refresh, store rows unchanged
+    n_rows = spark.read.parquet(store).count()
+    sketch_job.main(argv, spark=spark)
+    assert spark.read.parquet(store).count() == n_rows
+    # the _stats snapshot never leaks into the store's own fold
+    assert sketchstore.store_files(spark, store)  # parses cleanly
+
+
 def test_store_retry_is_idempotent(spark, table, tmp_path):
     data = str(tmp_path / "d")
     store = str(tmp_path / "s")
