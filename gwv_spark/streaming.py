@@ -1010,3 +1010,95 @@ def stream_events_hourly_drain(
     )
     q.awaitTermination()
     return spark.read.parquet(f"{out}/rollup")
+
+
+# ------------------------------------------------------ sketch-store tier
+
+
+def make_sketch_batch_processor(
+    store_dir: str,
+    columns=None,
+    p: int = 14,
+    delta: float = 500.0,
+):
+    """foreachBatch body for on-arrival column-stats maintenance: sketch
+    the epoch's files (one mergeable HLL+t-digest row per file+column,
+    gwv_spark.sketchstore) and append them to the store under
+    ``batch_id = epoch-<n>`` with dynamic partition overwrite — a
+    retried epoch overwrites its own partition, the same exactly-once
+    argument as the validation sinks (the epoch's file set is
+    checkpoint-fixed and the sketch rows are deterministic over it).
+
+    Extracted from the stream wiring so the retry property is testable
+    directly (tests/test_sketchstore.py re-invokes it with the same
+    epoch and asserts the store unchanged)."""
+    from gwv_spark import sketchstore
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        sk = sketchstore.column_sketches(
+            batch_df, columns, p=p, delta=delta, by_file=True
+        )
+        (
+            sk.withColumn("batch_id", F.lit(f"epoch-{int(epoch_id)}"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_dir)
+        )
+
+    return _process
+
+
+def stream_sketch_store(
+    spark: SparkSession,
+    input_path: str,
+    store_dir: str,
+    schema,
+    columns=None,
+    p: int = 14,
+    delta: float = 500.0,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Keep the column-stats sketch store current as files land: the
+    streaming counterpart of ``sketch_job`` (which diffs file lists; the
+    stream lets the checkpoint's file index do that bookkeeping).  Full
+    current stats at any moment = ``sketchstore.stats_from_store`` over
+    the store — a fold of KB-sized rows, no data scan."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_path)
+    writer = (
+        stream.writeStream.foreachBatch(
+            make_sketch_batch_processor(store_dir, columns, p, delta)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", f"{store_dir}/_checkpoint")
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    elif available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_sketch_drain(
+    spark: SparkSession,
+    input_path: str,
+    store_dir: str,
+    schema,
+    columns=None,
+    p: int = 14,
+    delta: float = 500.0,
+) -> DataFrame:
+    """Drain pending files into the sketch store and return the folded
+    full-table stats."""
+    from gwv_spark import sketchstore
+
+    q = stream_sketch_store(
+        spark, input_path, store_dir, schema, columns, p=p, delta=delta
+    )
+    q.awaitTermination()
+    return sketchstore.stats_from_store(spark, store_dir, delta=delta)

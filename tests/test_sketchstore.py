@@ -244,3 +244,43 @@ def test_store_retry_is_idempotent(spark, table, tmp_path):
         sketchstore.sketch_column_stats(spark.read.parquet(data), ["key"])
     )
     assert inc["key"]["distinct_est"] == full["key"]["distinct_est"]
+
+
+def test_stream_sketch_store_two_drops_and_retry(spark, table, tmp_path):
+    """Streaming maintenance: land the table in two drops, drain after
+    each — folded stats equal the one-shot sketch over everything
+    (exactly, for the fold-exact fields); re-invoking the epoch
+    processor with the same (batch, epoch) leaves the store unchanged
+    (dynamic-partition-overwrite idempotence)."""
+    from gwv_spark.streaming import make_sketch_batch_processor, stream_sketch_drain
+
+    land = str(tmp_path / "land")
+    store = str(tmp_path / "store")
+    full_dir = str(tmp_path / "full")
+    table.write.parquet(full_dir)
+    schema = spark.read.parquet(full_dir).schema
+    files = sorted(
+        f for f in __import__("os").listdir(full_dir) if f.endswith(".parquet")
+    )
+    assert len(files) >= 2
+    import shutil
+
+    __import__("os").makedirs(land)
+    shutil.copy(f"{full_dir}/{files[0]}", f"{land}/drop-000.parquet")
+    cols = ["num", "key", "val"]
+    stream_sketch_drain(spark, land, store, schema, cols)
+    for f in files[1:]:
+        shutil.copy(f"{full_dir}/{f}", f"{land}/drop-{f}")
+    inc = _stats_by_col(stream_sketch_drain(spark, land, store, schema, cols))
+    full = _stats_by_col(
+        sketchstore.sketch_column_stats(spark.read.parquet(full_dir), cols)
+    )
+    for col in cols:
+        for k in ("n", "n_null", "vmin", "vmax", "distinct_est"):
+            assert inc[col][k] == full[col][k], (col, k)
+
+    # epoch retry: replay an epoch's batch through the processor body
+    n_rows = spark.read.parquet(store).count()
+    proc = make_sketch_batch_processor(store, cols)
+    proc(spark.read.parquet(f"{land}/drop-000.parquet"), 0)
+    assert spark.read.parquet(store).count() == n_rows
