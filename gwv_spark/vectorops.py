@@ -307,6 +307,65 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    vectors: DataFrame,
+    centroids,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: the vector table written partitioned
+    by inverted-list id.  This is what makes IVF the SCALE path — a
+    probe's nprobe lists become parquet partition directories, so the
+    scan reads nprobe/n_lists of the table via partition pruning
+    (asserted on the plan in tests/test_ivf.py), not via a post-scan
+    filter."""
+    ivf_assign(vectors, centroids, vec_col).write.partitionBy(
+        "ivf_list"
+    ).mode("overwrite").parquet(path)
+
+
+def indexed_ivf_topk(
+    spark,
+    index_path: str,
+    probes: DataFrame,
+    centroids,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Top-k against a stored IVF index with STATIC partition pruning:
+    the probes' nprobe list ids are computed up front (probes are small
+    by contract — the same boundedness cosine_topk's broadcast relies
+    on), deduped, and pushed into the scan as an IN partition filter;
+    only those list directories are read."""
+    import numpy as np
+
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    ).withColumn("lists", _ivf_assign_udf(centroids, nprobe)(F.col("probe_vec")))
+    p = p.select("probe_id", "probe_vec", F.explode("lists").alias("ivf_list"))
+    wanted = sorted({int(r["ivf_list"]) for r in p.select("ivf_list").distinct().collect()})
+    index = spark.read.parquet(index_path).where(F.col("ivf_list").isin(wanted))
+    joined = index.join(F.broadcast(p), "ivf_list").select(
+        "probe_id",
+        F.col(id_col).alias("vec_id"),
+        F.round(
+            _dot(F.col(vec_col), F.col("probe_vec"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("probe_vec"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "cosine", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -116,3 +116,26 @@ def test_ivf_scan_side_does_not_shuffle(spark, emb, centroids):
     scan_pos = below_join.find("Scan")
     assert scan_pos != -1, below_join
     assert "Exchange hashpartitioning" not in below_join[:scan_pos]
+
+
+def test_indexed_ivf_prunes_partitions(spark, emb, centroids, tmp_path):
+    """The stored index is the scale path: probing must READ only the
+    probes' lists.  Assert (a) results identical to the unindexed
+    ivf_topk, (b) the scan's PartitionFilters prune on ivf_list —
+    pruning happens at file-listing time, before any I/O."""
+    idx = str(tmp_path / "ivf_index")
+    vectorops.write_ivf_index(emb, centroids, idx)
+    probes = emb.select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    ).where(F.col("probe_id") < 10)
+    out = vectorops.indexed_ivf_topk(spark, idx, probes, centroids, k=5, nprobe=3)
+    plain = vectorops.ivf_topk(emb, probes, centroids, k=5, nprobe=3)
+    got = {(r["probe_id"], r["vec_id"], r["rank"]) for r in out.collect()}
+    want = {(r["probe_id"], r["vec_id"], r["rank"]) for r in plain.collect()}
+    assert got == want and got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_list" in m.group(1), plan
