@@ -141,8 +141,11 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     attrs = spark.read.parquet(args.attrs) if args.attrs else None
     # the run is pinned to the input's snapshot: the resume ledger lives
     # under it, so state can never mix across corpus versions (Iceberg
-    # snapshot id, or a content fingerprint on plain parquet)
-    snapshot = catalog.snapshot_id(spark, args.input)
+    # snapshot id, or a content fingerprint on plain parquet).  The pin
+    # also COMMITS a manifest of the snapshot's exact file list, so this
+    # run's input stays re-readable as-of (catalog.load_snapshot) even
+    # after later appends.
+    snapshot = catalog.commit_snapshot(spark, args.input)
 
     rule_ids = args.rules or ALL_RULE_IDS
     # fail fast on unknown rule ids: a typo'd --rules entry must not get

@@ -1,0 +1,86 @@
+"""Snapshot manifest log: time travel on the parquet surrogate.
+
+The north rule's input is an Iceberg table; the sandbox has no Iceberg
+jar, so catalog.py fingerprints file state for the resume ledger.  The
+manifest log closes the remaining semantic gap: a committed snapshot's
+exact file list is recorded, so any pinned run's input can be re-read
+AS OF that snapshot after later appends — and the validation job
+commits a manifest every time it pins (job.py), making every validated
+snapshot reproducible."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gwv_spark import catalog
+
+
+@pytest.fixture()
+def versioned_table(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    spark.range(100).select(F.col("id")).coalesce(1).write.parquet(d)
+    return d
+
+
+def test_time_travel_after_append(spark, versioned_table):
+    d = versioned_table
+    s1 = catalog.commit_snapshot(spark, d)
+    spark.range(100, 160).select(F.col("id")).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    s2 = catalog.commit_snapshot(spark, d)
+    assert s1 != s2
+    assert catalog.load_snapshot(spark, d, s1).count() == 100
+    assert catalog.load_snapshot(spark, d, s2).count() == 160
+    # the live table reads everything; the manifest dir is invisible
+    assert spark.read.parquet(d).count() == 160
+    # the log lists both, oldest first
+    ids = [r["snapshot_id"] for r in catalog.snapshots(d)]
+    assert ids == [s1, s2]
+
+
+def test_commit_is_idempotent(spark, versioned_table):
+    d = versioned_table
+    s1 = catalog.commit_snapshot(spark, d)
+    s_again = catalog.commit_snapshot(spark, d)
+    assert s_again == s1
+    assert len(catalog.snapshots(d)) == 1
+
+
+def test_unknown_snapshot_fails_with_known_list(spark, versioned_table):
+    d = versioned_table
+    s1 = catalog.commit_snapshot(spark, d)
+    with pytest.raises(ValueError, match=s1):
+        catalog.load_snapshot(spark, d, "nope")
+
+
+def test_single_file_table_manifest(spark, tmp_path):
+    d = str(tmp_path / "t")
+    spark.range(10).coalesce(1).write.parquet(d)
+    f = next(str(p) for p in __import__("pathlib").Path(d).glob("*.parquet"))
+    sid = catalog.commit_snapshot(spark, f)
+    assert catalog.load_snapshot(spark, f, sid).count() == 10
+    assert [r["snapshot_id"] for r in catalog.snapshots(f)] == [sid]
+
+
+def test_job_pin_commits_a_manifest(spark, tmp_path):
+    from gwv_spark import job as jobmod
+    from gwv_spark.corpus import ensure_corpus
+
+    cdir = str(tmp_path / "corpus")
+    ensure_corpus(cdir, 200)
+    docs = f"{cdir}/documents.parquet"
+    out = str(tmp_path / "out")
+    jobmod.main(
+        ["--input", docs, "--output", out, "--rules", "numexp",
+         "--n-buckets", "8"],
+        spark=spark,
+    )
+    recs = catalog.snapshots(docs)
+    assert len(recs) == 1
+    # the manifest's snapshot id is the one the ledger was keyed by
+    ledger_dirs = list((__import__("pathlib").Path(out) / "ledger").glob("snapshot=*"))
+    assert ledger_dirs and ledger_dirs[0].name.split("=", 1)[1] == recs[0]["snapshot_id"]
+    # and the pinned input re-reads exactly
+    assert catalog.load_snapshot(spark, docs, recs[0]["snapshot_id"]).count() == 200
