@@ -113,6 +113,15 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         "actions only (default).",
     )
     p.add_argument("--resume", action="store_true", help="skip completed (rule,bucket)s")
+    p.add_argument(
+        "--as-of",
+        default=None,
+        metavar="SNAPSHOT",
+        help="validate the input AS OF this committed snapshot id "
+        "(catalog.load_snapshot): the run reads exactly that snapshot's "
+        "file manifest even after later appends, and is pinned/ledgered "
+        "under that snapshot — a historical run reproduces bit-identically.",
+    )
     p.add_argument("--no-cache", action="store_true")
     p.add_argument(
         "--ignore-error",
@@ -137,15 +146,21 @@ def main(argv: list[str] | None = None, spark=None) -> None:
 
     from gwv_spark import catalog
 
-    documents = catalog.load(spark, args.input)
+    if args.as_of:
+        # historical run: read exactly the named snapshot's manifest and
+        # pin the ledger to it — identical inputs, identical outputs
+        documents = catalog.load_snapshot(spark, args.input, args.as_of)
+        snapshot = args.as_of
+    else:
+        documents = catalog.load(spark, args.input)
+        # the run is pinned to the input's snapshot: the resume ledger
+        # lives under it, so state can never mix across corpus versions
+        # (Iceberg snapshot id, or a content fingerprint on plain
+        # parquet).  The pin also COMMITS a manifest of the snapshot's
+        # exact file list, so this run's input stays re-readable as-of
+        # (catalog.load_snapshot / --as-of) even after later appends.
+        snapshot = catalog.commit_snapshot(spark, args.input)
     attrs = spark.read.parquet(args.attrs) if args.attrs else None
-    # the run is pinned to the input's snapshot: the resume ledger lives
-    # under it, so state can never mix across corpus versions (Iceberg
-    # snapshot id, or a content fingerprint on plain parquet).  The pin
-    # also COMMITS a manifest of the snapshot's exact file list, so this
-    # run's input stays re-readable as-of (catalog.load_snapshot) even
-    # after later appends.
-    snapshot = catalog.commit_snapshot(spark, args.input)
 
     rule_ids = args.rules or ALL_RULE_IDS
     # fail fast on unknown rule ids: a typo'd --rules entry must not get

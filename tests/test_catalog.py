@@ -84,3 +84,48 @@ def test_job_pin_commits_a_manifest(spark, tmp_path):
     assert ledger_dirs and ledger_dirs[0].name.split("=", 1)[1] == recs[0]["snapshot_id"]
     # and the pinned input re-reads exactly
     assert catalog.load_snapshot(spark, docs, recs[0]["snapshot_id"]).count() == 200
+
+
+def test_job_as_of_reproduces_historical_run(spark, tmp_path):
+    """Append new docs, then rerun --as-of the earlier snapshot: the
+    historical run reads exactly the old manifest and reproduces the
+    original violations row-identically (time travel end to end)."""
+    import pyarrow.parquet as pq
+
+    from gwv_spark import job as jobmod
+    from gwv_spark.corpus import ensure_corpus
+
+    cdir = str(tmp_path / "corpus")
+    ensure_corpus(cdir, 300)
+    docs = str(tmp_path / "tbl")
+    __import__("pathlib").Path(docs).mkdir()
+    tbl = pq.read_table(f"{cdir}/documents.parquet")
+    n1 = int(tbl.num_rows * 0.8)
+    pq.write_table(tbl.slice(0, n1), f"{docs}/part-000.parquet")
+
+    out1 = str(tmp_path / "out1")
+    argv = ["--rules", "numexp", "order", "--n-buckets", "8"]
+    jobmod.main(["--input", docs, "--output", out1] + argv, spark=spark)
+    s1 = catalog.snapshots(docs)[0]["snapshot_id"]
+    v1 = sorted(
+        map(tuple, spark.read.parquet(f"{out1}/violations")
+            .select("rule_id", "doc_id", "detail").collect())
+    )
+
+    pq.write_table(tbl.slice(n1), f"{docs}/part-001.parquet")
+    out2 = str(tmp_path / "out2")
+    jobmod.main(
+        ["--input", docs, "--output", out2, "--as-of", s1] + argv, spark=spark
+    )
+    v2 = sorted(
+        map(tuple, spark.read.parquet(f"{out2}/violations")
+            .select("rule_id", "doc_id", "detail").collect())
+    )
+    assert v1 == v2 and v1
+    # the as-of run was ledgered under the historical snapshot
+    assert (__import__("pathlib").Path(out2) / "ledger" / f"snapshot={s1}").exists()
+    # and a live run over the appended table sees a different snapshot
+    out3 = str(tmp_path / "out3")
+    jobmod.main(["--input", docs, "--output", out3] + argv, spark=spark)
+    ids = [r["snapshot_id"] for r in catalog.snapshots(docs)]
+    assert len(ids) == 2 and ids[0] == s1
