@@ -372,6 +372,11 @@ def main() -> None:
         # under its own key.  Mode is explicit per ADVICE r3.
         "suite_mode": "concurrent",
         "queries": {k: round(v, 2) for k, v in timings.items()},
+        # entry count makes cross-round totals self-describing: the
+        # total grows when NEW capabilities add bench entries (r4 added
+        # stream/sketch/ivf rows) — compare per-query or docs/s, not
+        # raw totals, across rounds with different counts
+        "n_bench_entries": len(timings),
         "sf": sf,
         "cpus": CPUS,
         **scaling,
