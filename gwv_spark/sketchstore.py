@@ -282,7 +282,19 @@ def stats_from_store(
     spark: SparkSession, store_dir: str, delta: float = 500.0
 ) -> DataFrame:
     """Current full-table stats from the store alone — folds KB-sized
-    sketch rows, never touches the data files."""
+    sketch rows, never touches the data files.
+
+    Duplicate (file, column) rows are dropped before folding: two racing
+    ``update_store`` writers could sketch the same new file under
+    different batch_ids, and counts are SUMS — double-counting, not
+    idempotent like the HLL registers.  Because sketch rows are
+    deterministic functions of the file's bytes, any surviving duplicate
+    is identical content, so keeping one is exact (the single-writer
+    contract a real Iceberg catalog enforces with atomic commits,
+    recovered here at read time)."""
     return merged_column_stats(
-        spark.read.parquet(store_dir).drop("batch_id"), delta
+        spark.read.parquet(store_dir)
+        .drop("batch_id")
+        .dropDuplicates(["file", "column"]),
+        delta,
     )

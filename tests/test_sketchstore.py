@@ -284,3 +284,35 @@ def test_stream_sketch_store_two_drops_and_retry(spark, table, tmp_path):
     proc = make_sketch_batch_processor(store, cols)
     proc(spark.read.parquet(f"{land}/drop-000.parquet"), 0)
     assert spark.read.parquet(store).count() == n_rows
+
+
+def test_racing_writers_cannot_double_count(spark, table, tmp_path):
+    """Two update_store invocations racing on the same append would both
+    sketch the new files under different batch_ids.  Counts are sums, so
+    the fold dedupes (file, column) first — sketch rows are
+    deterministic per file, so keeping one copy is exact."""
+    data = str(tmp_path / "d")
+    store = str(tmp_path / "s")
+    table.write.parquet(data)
+    sketchstore.update_store(spark, data, store, ["key", "num"])
+    before = _stats_by_col(sketchstore.stats_from_store(spark, store))
+
+    # simulate the losing racer: same files re-sketched under a new batch
+    files = sorted(
+        sketchstore._norm_file(f)
+        for f in spark.read.parquet(data).inputFiles()
+    )
+    sk = sketchstore.column_sketches(
+        spark.read.parquet(*files), ["key", "num"], by_file=True
+    )
+    (
+        sk.withColumn("batch_id", F.lit("racer-duplicate"))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .mode("overwrite")
+        .parquet(store)
+    )
+    after = _stats_by_col(sketchstore.stats_from_store(spark, store))
+    for col in ("key", "num"):
+        for k in ("n", "n_null", "distinct_est", "vmin", "vmax"):
+            assert after[col][k] == before[col][k], (col, k)
