@@ -264,6 +264,16 @@ def update_store(
     batch_id = hashlib.sha256("\n".join(new).encode()).hexdigest()[:16]
     df = spark.read.parquet(*new)
     sk = column_sketches(df, columns, p, delta, by_file=True)
+    # presence markers (column = ""): a ZERO-ROW data file yields no
+    # sketch rows (input_file_name rides on rows), so without a marker
+    # the file-list diff would re-scan it on every update forever.  One
+    # marker row per new file makes the diff converge; the fold filters
+    # them out (stats_from_store) and they carry no counts.
+    markers = spark.createDataFrame(
+        [(f, "", 0, 0, None, None, None, None, None) for f in new],
+        SKETCH_SCHEMA,
+    )
+    sk = sk.unionByName(markers)
     (
         sk.withColumn("batch_id", F.lit(batch_id))
         .write.option("partitionOverwriteMode", "dynamic")
@@ -295,6 +305,7 @@ def stats_from_store(
     return merged_column_stats(
         spark.read.parquet(store_dir)
         .drop("batch_id")
+        .where(F.col("column") != "")  # file-presence markers carry no data
         .dropDuplicates(["file", "column"]),
         delta,
     )

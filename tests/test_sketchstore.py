@@ -230,6 +230,11 @@ def test_store_retry_is_idempotent(spark, table, tmp_path):
         for f in spark.read.parquet(data).inputFiles()
     )
     sk = sketchstore.column_sketches(spark.read.parquet(*files), ["key"], by_file=True)
+    markers = spark.createDataFrame(
+        [(f, "", 0, 0, None, None, None, None, None) for f in files],
+        sketchstore.SKETCH_SCHEMA,
+    )
+    sk = sk.unionByName(markers)
     (
         sk.withColumn("batch_id", F.lit(r1["batch_id"]))
         .write.option("partitionOverwriteMode", "dynamic")
@@ -316,3 +321,37 @@ def test_racing_writers_cannot_double_count(spark, table, tmp_path):
     for col in ("key", "num"):
         for k in ("n", "n_null", "distinct_est", "vmin", "vmax"):
             assert after[col][k] == before[col][k], (col, k)
+
+
+def test_zero_row_file_converges_and_all_null_column(spark, table, tmp_path):
+    """A zero-row data file yields no sketch rows (input_file_name rides
+    on rows) — the presence marker keeps the file-list diff convergent.
+    And an all-null column folds to distinct 0 / null_rate 1 / NaN-free
+    counts rather than crashing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    data = str(tmp_path / "d")
+    store = str(tmp_path / "s")
+    df = spark.range(1_000).select(
+        F.lit(None).cast("double").alias("allnull"),
+        F.col("id").cast("string").alias("key"),
+    )
+    df.coalesce(1).write.parquet(data)
+    # plant a ZERO-ROW parquet file with the same schema
+    schema = pa.schema([("allnull", pa.float64()), ("key", pa.string())])
+    pq.write_table(pa.table({"allnull": [], "key": []}, schema=schema),
+                   f"{data}/part-empty.parquet")
+
+    r1 = sketchstore.update_store(spark, data, store, ["allnull", "key"])
+    assert r1["n_new_files"] == 2
+    r2 = sketchstore.update_store(spark, data, store, ["allnull", "key"])
+    assert r2["n_new_files"] == 0, "zero-row file must not be re-scanned"
+
+    got = _stats_by_col(sketchstore.stats_from_store(spark, store))
+    assert set(got) == {"allnull", "key"}, "markers must not leak into stats"
+    assert got["allnull"]["n"] == 1000 and got["allnull"]["n_null"] == 1000
+    assert got["allnull"]["null_rate"] == 1.0
+    assert got["allnull"]["distinct_est"] == 0.0
+    assert got["allnull"]["vmin"] is None
+    assert abs(got["key"]["distinct_est"] - 1000) / 1000 <= 0.025
