@@ -53,16 +53,42 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                         "add/retract change log) instead of doc-local validation")
     p.add_argument("--ri-shards", type=int, default=1,
                    help="state shards per probe key (hot-key spreading)")
+    p.add_argument("--sketch", default=None, metavar="STORE_DIR",
+                   help="maintain a column-stats sketch store on arrival "
+                        "(per-epoch HLL + t-digest rows) instead of "
+                        "validating; --output is unused in this mode")
+    p.add_argument("--sketch-columns", nargs="*", default=None,
+                   help="columns to profile (default: all numeric + string)")
+    p.add_argument("--schema-from", default=None,
+                   help="parquet path supplying the stream schema "
+                        "(default: the input itself — requires at least "
+                        "one landed file)")
     args = p.parse_args(argv)
     if args.ri and args.rules is not None:
         p.error("--ri runs the fixed delquote/delvar pair; --rules applies "
                 "only to doc-local validation")
+    if args.sketch and (args.ri or args.rules is not None):
+        p.error("--sketch is a dedicated mode; drop --ri/--rules")
 
     owns_session = spark is None
     if owns_session:
         spark = SparkSession.builder.appName("gwv_spark-stream").getOrCreate()
 
-    if args.ri:
+    if args.sketch:
+        from gwv_spark.streaming import stream_sketch_store
+
+        schema = spark.read.parquet(args.schema_from or args.input).schema
+        q = stream_sketch_store(
+            spark,
+            args.input,
+            args.sketch,
+            schema,
+            columns=args.sketch_columns,
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=args.continuous is None,
+            processing_time=args.continuous,
+        )
+    elif args.ri:
         q = start_ri_stream(
             spark,
             args.input,

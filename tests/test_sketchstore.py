@@ -355,3 +355,32 @@ def test_zero_row_file_converges_and_all_null_column(spark, table, tmp_path):
     assert got["allnull"]["distinct_est"] == 0.0
     assert got["allnull"]["vmin"] is None
     assert abs(got["key"]["distinct_est"] - 1000) / 1000 <= 0.025
+
+
+def test_stream_job_cli_sketch_mode(spark, table, tmp_path):
+    """stream_job --sketch drains landed files into the store; a second
+    invocation with no new files is a checkpointed no-op; stats fold
+    from the store."""
+    from gwv_spark import stream_job
+
+    land = str(tmp_path / "land")
+    store = str(tmp_path / "store")
+    full = str(tmp_path / "full")
+    table.write.parquet(full)
+    import os
+    import shutil
+
+    os.makedirs(land)
+    for f in os.listdir(full):
+        if f.endswith(".parquet"):
+            shutil.copy(f"{full}/{f}", f"{land}/{f}")
+    argv = ["--input", land, "--output", "unused", "--sketch", store,
+            "--sketch-columns", "num", "key"]
+    stream_job.main(argv, spark=spark)
+    got = _stats_by_col(sketchstore.stats_from_store(spark, store))
+    assert got["key"]["n"] == 20_000
+    n_rows = spark.read.parquet(store).count()
+    stream_job.main(argv, spark=spark)  # no new files
+    assert spark.read.parquet(store).count() == n_rows
+    with pytest.raises(SystemExit):
+        stream_job.main(argv + ["--ri"], spark=spark)
