@@ -248,12 +248,21 @@ def update_store(
     columns: Sequence[str] | None = None,
     p: int = hll.DEFAULT_P,
     delta: float = 500.0,
+    files_per_batch: int = 10_000,
 ) -> dict:
     """Sketch the table's files NOT yet in the store and append their
-    sketch rows.  Idempotent under retry: the batch is partitioned by a
-    batch_id derived from the sorted new-file list and written with
-    dynamic partition overwrite, so a re-run of the same append
-    overwrites its own partition instead of duplicating rows."""
+    sketch rows.  Idempotent under retry: each batch is partitioned by a
+    batch_id derived from its sorted file list and written with dynamic
+    partition overwrite, so a re-run of the same append overwrites its
+    own partition instead of duplicating rows.
+
+    Large backlogs (the 10^6-file bootstrap) are committed in chunks of
+    ``files_per_batch``, each its own batch partition — a crash resumes
+    at the first unsketched chunk instead of redoing the whole scan, the
+    same slice-lineage shape as job.py --bucket-groups.  (The file-list
+    diff itself is driver-side: at 10^6 files that is ~100 MB of path
+    strings — acceptable for a manifest-scale structure, the same order
+    as an Iceberg manifest list.)"""
     current = sorted(
         _norm_file(f) for f in spark.read.parquet(input_path).inputFiles()
     )
@@ -261,30 +270,36 @@ def update_store(
     new = [f for f in current if f not in known]
     if not new:
         return {"n_new_files": 0, "n_known_files": len(known), "batch_id": None}
-    batch_id = hashlib.sha256("\n".join(new).encode()).hexdigest()[:16]
-    df = spark.read.parquet(*new)
-    sk = column_sketches(df, columns, p, delta, by_file=True)
-    # presence markers (column = ""): a ZERO-ROW data file yields no
-    # sketch rows (input_file_name rides on rows), so without a marker
-    # the file-list diff would re-scan it on every update forever.  One
-    # marker row per new file makes the diff converge; the fold filters
-    # them out (stats_from_store) and they carry no counts.
-    markers = spark.createDataFrame(
-        [(f, "", 0, 0, None, None, None, None, None) for f in new],
-        SKETCH_SCHEMA,
-    )
-    sk = sk.unionByName(markers)
-    (
-        sk.withColumn("batch_id", F.lit(batch_id))
-        .write.option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .mode("overwrite")
-        .parquet(store_dir)
-    )
+    batch_ids = []
+    for i in range(0, len(new), files_per_batch):
+        chunk = new[i : i + files_per_batch]
+        batch_id = hashlib.sha256("\n".join(chunk).encode()).hexdigest()[:16]
+        df = spark.read.parquet(*chunk)
+        sk = column_sketches(df, columns, p, delta, by_file=True)
+        # presence markers (column = ""): a ZERO-ROW data file yields no
+        # sketch rows (input_file_name rides on rows), so without a
+        # marker the file-list diff would re-scan it on every update
+        # forever.  One marker row per new file makes the diff converge;
+        # the fold filters them out (stats_from_store) and they carry no
+        # counts.
+        markers = spark.createDataFrame(
+            [(f, "", 0, 0, None, None, None, None, None) for f in chunk],
+            SKETCH_SCHEMA,
+        )
+        (
+            sk.unionByName(markers)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .mode("overwrite")
+            .parquet(store_dir)
+        )
+        batch_ids.append(batch_id)
     return {
         "n_new_files": len(new),
         "n_known_files": len(known),
-        "batch_id": batch_id,
+        "batch_id": batch_ids[-1],
+        "n_batches": len(batch_ids),
     }
 
 

@@ -384,3 +384,36 @@ def test_stream_job_cli_sketch_mode(spark, table, tmp_path):
     assert spark.read.parquet(store).count() == n_rows
     with pytest.raises(SystemExit):
         stream_job.main(argv + ["--ri"], spark=spark)
+
+
+def test_bootstrap_chunks_commit_independently(spark, table, tmp_path):
+    """files_per_batch=2 over a 4-file table: two independently
+    committed chunks; stats identical to the unchunked fold; a crash
+    between chunks resumes at the unsketched remainder (simulated by
+    diffing after only the first chunk exists)."""
+    data = str(tmp_path / "d")
+    store = str(tmp_path / "s")
+    table.write.parquet(data)
+    r = sketchstore.update_store(spark, data, store, ["key"], files_per_batch=2)
+    assert r["n_new_files"] == 4 and r["n_batches"] == 2
+    chunked = _stats_by_col(sketchstore.stats_from_store(spark, store))
+    full = _stats_by_col(
+        sketchstore.sketch_column_stats(spark.read.parquet(data), ["key"])
+    )
+    assert chunked["key"] == full["key"]
+
+    # crash-resume shape: a store holding only the FIRST chunk leaves
+    # exactly the other files as the next update's diff
+    store2 = str(tmp_path / "s2")
+    files = sorted(
+        sketchstore._norm_file(f)
+        for f in spark.read.parquet(data).inputFiles()
+    )
+    first_two = spark.read.parquet(store).where(
+        F.col("file").isin(files[:2])
+    )
+    first_two.write.partitionBy("batch_id").parquet(store2)
+    r2 = sketchstore.update_store(spark, data, store2, ["key"], files_per_batch=2)
+    assert r2["n_new_files"] == 2 and r2["n_known_files"] == 2
+    resumed = _stats_by_col(sketchstore.stats_from_store(spark, store2))
+    assert resumed["key"] == full["key"]
