@@ -417,3 +417,16 @@ def test_bootstrap_chunks_commit_independently(spark, table, tmp_path):
     assert r2["n_new_files"] == 2 and r2["n_known_files"] == 2
     resumed = _stats_by_col(sketchstore.stats_from_store(spark, store2))
     assert resumed["key"] == full["key"]
+
+
+def test_hll_accuracy_sweep_across_cardinalities():
+    """Estimator error within 3 sigma (2.5%) at every cardinality scale
+    from the linear-counting region through the raw-estimate region —
+    including the awkward transition band around 2.5m (~40k at p=14)."""
+    rng = np.random.default_rng(99)
+    for n in (10, 100, 1_000, 10_000, 30_000, 50_000, 100_000, 500_000):
+        h = rng.integers(-(2**63), 2**63 - 1, n, dtype=np.int64)
+        reg = hll.empty_registers(14)
+        hll.accumulate(reg, h)
+        est = hll.estimate(reg)
+        assert abs(est - n) / n <= 0.025, (n, est)
