@@ -24,6 +24,12 @@ Two-tier architecture for a corpus that grows continuously:
   on arrival and disappear the moment the referenced document lands,
   without rescanning the corpus.  The batch tier remains authoritative
   per snapshot; the RI tier is its constantly-current companion.
+- **Sketch tier** (:func:`stream_sketch_store`) — column-stats
+  maintenance on arrival: each epoch's files are sketched into the
+  mergeable HLL + t-digest store (gwv_spark.sketchstore), so full-table
+  stats stay current at the cost of the arrived files' scan; the
+  checkpoint's file index does the bookkeeping sketch_job's file diff
+  does in batch mode.
 
 Doc-locality is a semantic property, not a guess:
 tests/test_streaming.py::test_doc_local_rules_are_split_invariant runs
