@@ -201,6 +201,39 @@ def main() -> None:
     shutil.rmtree(sk_data, ignore_errors=True)
     shutil.rmtree(sk_store, ignore_errors=True)
 
+    # bucketed co-partitioned RI layout (bucketed.py): materialization is
+    # the ingest-time cost, paid once per corpus commit; the query entry
+    # is the per-validation-run cost of BOTH RI anti joins + the doc_id
+    # uniqueness agg over the bucketed tables (zero-Exchange plans,
+    # tests/test_bucketed.py).  ri_shuffled_query is the same three
+    # checks through the standard shuffled plans over the same (cached)
+    # context — the delta is what bucketing buys per run at this SF; at
+    # the 10^12 design point the saved shuffle is the full catalog.
+    from gwv_spark import bucketed as bmod
+    from gwv_spark.rules.delquote import missing_quotes
+    from gwv_spark.rules.delvar import missing_bases
+
+    bk_path = tempfile.mkdtemp(prefix="gwv_bench_bucketed_")
+    t0 = time.time()
+    bk_tables = bmod.materialize(ctx, bk_path, n_buckets=CPUS, prefix="bench_b")
+    timings["ri_bucketed_materialize"] = round(time.time() - t0, 3)
+    bk_runs, sh_runs = [], []
+    for _ in range(2):
+        t0 = time.time()
+        force(bmod.delquote_missing(spark, bk_tables))
+        force(bmod.delvar_missing(spark, bk_tables))
+        force(bmod.uniqueness(spark, bk_tables))
+        bk_runs.append(time.time() - t0)
+        t0 = time.time()
+        force(missing_quotes(ctx))
+        force(missing_bases(ctx))
+        force(ctx.docs.groupBy("doc_id").count().where("count > 1"))
+        sh_runs.append(time.time() - t0)
+    timings["ri_bucketed_query"] = round(min(bk_runs), 3)
+    timings["ri_shuffled_query"] = round(min(sh_runs), 3)
+    bmod.drop(spark, bk_tables)
+    shutil.rmtree(bk_path, ignore_errors=True)
+
     # IVF ANN (the second scale path next to sign-LSH): coarse-quantizer
     # training on a bounded sample is timed separately from the probe
     # path (train once, probe forever — the deployed shape).

@@ -1,0 +1,165 @@
+"""Bucketed (co-partitioned) storage layout for the join-heavy tiers.
+
+At the north rule's 10^12-document scale the dominant INHERENT shuffles
+in the suite are the referential-integrity anti joins (reference
+delquote.py:22-30 / delvar.py:30-44: a corpus-scale probe side against
+the full doc_id catalog) and the uniqueness aggregation over doc_id —
+every other corpus-scale join is broadcast, prefiltered sparse, or
+AQE-handled (NOTES_r4 join audit).  Bucketing moves those shuffles from
+QUERY time to INGEST time: the catalog and the RI probe extracts are
+written ONCE with ``bucketBy(B, key).sortBy(key)``, and every subsequent
+validation run reads both sides already hash-co-partitioned and sorted —
+the anti join plans as a SortMergeJoin with ZERO Exchange and ZERO Sort
+on either side, and the uniqueness groupBy needs no Exchange at all
+(asserted on executed plans by tests/test_bucketed.py).
+
+Why this matters at 10^12: the catalog side of the RI join is the full
+corpus key set.  Shuffling it on every validation run is ~10 TB of
+network per run at 10-byte keys; amortizing it into the ingest write
+(which must land the bytes anyway) makes repeated validation — the
+steady state of a monitoring deployment — shuffle-free on its heaviest
+edge.  The probe extracts are tiny by comparison (quotes are a sparse
+span kind; variant bases are ≤1 row/doc) but co-bucketing them too
+removes the LAST exchange, so the whole RI tier becomes a map-side
+zipper merge of pre-sorted files.
+
+On the real deployment this layout is Iceberg's ``bucket(B, key)``
+partition transform + Spark's storage-partitioned joins
+(``spark.sql.sources.v2.bucketing.enabled``); this sandbox has no
+Iceberg runtime jar (catalog.py's detection), so the local analogue is
+Spark's native bucketed parquet tables in the session catalog — the
+physical property relied on (hash-partitioned, per-bucket-sorted files
+that the planner trusts for exchange/sort elision) is the same one.
+
+Semantics are UNCHANGED: the bucketed rules produce byte-identical
+violation sets to the shuffled rules (same reference citations), tested
+at corpus grain.  Bucket count B is a layout knob: at 10^12 keys pick
+B so a bucket's key file fits an executor's scan budget (e.g. B=65536
+→ ~15M keys/bucket); tests use small B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gwv_spark.rules import RuleContext
+
+DEFAULT_BUCKETS = 8
+
+
+def _write_bucketed(
+    df: DataFrame, table: str, path: str, key: str, n_buckets: int
+) -> None:
+    """parquet table, hash-bucketed + per-bucket-sorted by ``key``.
+
+    ``option("path", ...)`` keeps the data files under the caller's
+    directory (external table) while registering bucketing metadata in
+    the session catalog — bucketBy requires saveAsTable, Spark refuses
+    path-only writes because a bare directory cannot carry the bucket
+    spec a future reader must trust.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # One data file per bucket: Spark's scan only trusts (and elides)
+    # the per-bucket sort order when a bucket is a single file, so the
+    # ingest job pre-partitions on the bucket key (same Murmur3 hash the
+    # bucket spec uses → each write task owns whole buckets).  At 10^12
+    # keys this is the compaction discipline Iceberg maintenance would
+    # enforce anyway; B is sized so one bucket file stays executor-sized.
+    (
+        df.repartition(n_buckets, F.col(key))
+        .write.format("parquet")
+        .option("path", f"{path}/{table}")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
+def materialize(
+    ctx: RuleContext,
+    path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    prefix: str = "gwv_b",
+) -> dict[str, str]:
+    """Ingest-time bucketed layout: the doc_id catalog plus the two RI
+    probe extracts, all bucketed+sorted on their join key.
+
+    Returns {logical name: catalog table name}.  One corpus pass per
+    table (the probe extracts are independent projections; on a real
+    ingest they would be produced by the same landing job that writes
+    the corpus itself).
+    """
+    from gwv_spark.rules.delquote import quote_probe
+    from gwv_spark.rules.delvar import variant_probe
+
+    # Since Spark 3.0 a bucketed scan does not CLAIM its per-bucket sort
+    # order (SPARK-28595: unsafe when a bucket spans several files).
+    # This layout's ingest guarantees exactly one file per bucket (the
+    # repartition in _write_bucketed), which is precisely the condition
+    # under which the claim is sound — so the layout owner turns the
+    # claim back on, and the RI joins elide their Sorts too.
+    ctx.spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+
+    tables = {
+        "catalog": f"{prefix}_catalog",
+        "quotes": f"{prefix}_quotes",
+        "varbases": f"{prefix}_varbases",
+        "docs": f"{prefix}_docs",
+    }
+    catalog = ctx.docs.select(F.col("doc_id").alias("key"))
+    _write_bucketed(catalog, tables["catalog"], path, "key", n_buckets)
+
+    quotes = quote_probe(ctx).withColumnRenamed("part_base", "key")
+    _write_bucketed(quotes, tables["quotes"], path, "key", n_buckets)
+
+    varbases = variant_probe(ctx).withColumnRenamed("base", "key")
+    _write_bucketed(varbases, tables["varbases"], path, "key", n_buckets)
+
+    # full doc rows bucketed by doc_id — the uniqueness check's input
+    docs = ctx.docs.select("doc_id", F.size("spans").alias("n_spans"))
+    _write_bucketed(docs, tables["docs"], path, "doc_id", n_buckets)
+    return tables
+
+
+def delquote_missing(spark: SparkSession, tables: dict[str, str]) -> DataFrame:
+    """RI core of delquote over the bucketed layout: (doc_id, part_full)
+    of dangling part quotes — same set as rules.delquote.missing_quotes
+    (reference delquote.py:22-30), zero-Exchange plan."""
+    quotes = spark.table(tables["quotes"])
+    catalog = spark.table(tables["catalog"])
+    return (
+        quotes.join(catalog, "key", "left_anti")
+        .select("doc_id", "part_full")
+    )
+
+
+def delvar_missing(spark: SparkSession, tables: dict[str, str]) -> DataFrame:
+    """RI core of delvar over the bucketed layout: (doc_id, base) where
+    the derivation base is absent — same set as
+    rules.delvar.missing_bases (reference delvar.py:30-44)."""
+    varbases = spark.table(tables["varbases"])
+    catalog = spark.table(tables["catalog"])
+    return (
+        varbases.join(catalog, "key", "left_anti")
+        .select("doc_id", F.col("key").alias("base"))
+    )
+
+
+def uniqueness(spark: SparkSession, tables: dict[str, str]) -> DataFrame:
+    """doc_id uniqueness violations over the bucketed docs table: the
+    groupBy rides the bucket layout, no Exchange (north star:
+    'uniqueness over doc_id')."""
+    docs = spark.table(tables["docs"])
+    return (
+        docs.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+def drop(spark: SparkSession, tables: dict[str, str]) -> None:
+    for t in tables.values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

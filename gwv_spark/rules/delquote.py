@@ -21,9 +21,10 @@ from gwv_spark import parse
 from gwv_spark.rules import RuleContext, rule, shape, tag_s
 
 
-def missing_quotes(ctx: RuleContext) -> DataFrame:
-    """Flat RI core: (doc_id, part_full) of dangling part quotes."""
-    quotes = (
+def quote_probe(ctx: RuleContext) -> DataFrame:
+    """The RI probe side: distinct (doc_id, part_full, part_base) quoted
+    part references.  Shared with the bucketed layout (bucketed.py)."""
+    return (
         ctx.spans.where(F.col("kind") == "part")
         .select(
             "doc_id",
@@ -33,8 +34,14 @@ def missing_quotes(ctx: RuleContext) -> DataFrame:
         .where(F.col("part_full").isNotNull())
         .dropDuplicates(["doc_id", "part_full"])
     )
+
+
+def missing_quotes(ctx: RuleContext) -> DataFrame:
+    """Flat RI core: (doc_id, part_full) of dangling part quotes."""
     catalog = ctx.docs.select(F.col("doc_id").alias("part_base"))
-    return quotes.join(catalog, "part_base", "left_anti").select("doc_id", "part_full")
+    return quote_probe(ctx).join(catalog, "part_base", "left_anti").select(
+        "doc_id", "part_full"
+    )
 
 
 @rule("delquote")

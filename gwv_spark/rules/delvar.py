@@ -31,15 +31,20 @@ def derived_base(name):  # Column -> Column
     return F.when(m1 != "", m1).when(m2 != "", m2).when(m3 != "", m3)
 
 
+def variant_probe(ctx: RuleContext) -> DataFrame:
+    """The RI probe side: (doc_id, base) derivation-base candidates.
+    Shared with the bucketed layout (bucketed.py)."""
+    docs = ctx.docs.where(~F.col("category").isin(_SKIP_CATS))
+    return docs.select("doc_id", derived_base(F.col("doc_id")).alias("base")).where(
+        F.col("base").isNotNull()
+    )
+
+
 def missing_bases(ctx: RuleContext) -> DataFrame:
     """Flat RI core: (doc_id, base) where the derivation base is absent
     from the corpus."""
-    docs = ctx.docs.where(~F.col("category").isin(_SKIP_CATS))
-    derived = docs.select("doc_id", derived_base(F.col("doc_id")).alias("base")).where(
-        F.col("base").isNotNull()
-    )
     catalog = ctx.docs.select(F.col("doc_id").alias("base"))
-    return derived.join(catalog, "base", "left_anti")
+    return variant_probe(ctx).join(catalog, "base", "left_anti")
 
 
 @rule("delvar")
