@@ -430,7 +430,13 @@ def main() -> None:
         "validate_docs_per_sec_sf_cold": round(n_docs / validate_sec, 1),
         "validate_docs_per_sec_sf_sustained": round(n_docs / sustained_sec, 1),
     }
-    (here / "BENCH_FULL.json").write_text(json.dumps(full, indent=1))
+    # Every run writes BENCH_LAST.json; BENCH_FULL.json is reserved for
+    # protocol-shape runs (sf0.1 corpus + 1M-doc anchor) so a quick-mode
+    # invocation (SPARK_GRAFT_SF_DIR=sf0.01 / SPARK_GRAFT_BENCH_DOCS=20000)
+    # cannot clobber the curated protocol record.
+    (here / "BENCH_LAST.json").write_text(json.dumps(full, indent=1))
+    if abs(sf - 0.1) < 1e-9 and big_n >= 1_000_000:
+        (here / "BENCH_FULL.json").write_text(json.dumps(full, indent=1))
     line = json.dumps(record, separators=(",", ":"))
     # the driver keeps only the LAST 2000 chars of stdout and parses the
     # final JSON line (BENCH_r03 lesson: a longer line records as
