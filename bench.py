@@ -100,7 +100,10 @@ def main() -> None:
     # the one-shot cold sample is honest but noise-dominated on this
     # host (r2: 155 s vs a 31-59 s band) — record it OUTSIDE the
     # headline total; the headline is min-of-2 sustained re-executions
-    cold_samples["validate_full_suite"] = round(validate_sec, 3)
+    # keyed to the mode it measures (fused), matching the sustained key
+    # validate_full_suite_fused — the unqualified headline key is the
+    # concurrent mode, whose cold run is not separately sampled
+    cold_samples["validate_full_suite_fused"] = round(validate_sec, 3)
     fused_runs = []
     for _ in range(2):
         t0 = time.time()
@@ -120,6 +123,23 @@ def main() -> None:
         sustained_runs.append(time.time() - t0)
     sustained_sec = min(sustained_runs)
     timings["validate_full_suite"] = round(sustained_sec, 3)
+
+    # triage sampler: K deterministic examples per (rule_id, errcode)
+    # over the materialized suite violations — the surface a human reads
+    # at 10^12 scale instead of the raw violations table.  Violations are
+    # persisted outside the timer so the entry times the two-level
+    # selection itself, not rule evaluation.
+    from gwv_spark import triage
+
+    vio = engine.run_rules(ctx).persist()
+    vio.count()
+    triage_runs = []
+    for _ in range(2):
+        t0 = time.time()
+        force(triage.sample_violations(vio, k=10))
+        triage_runs.append(time.time() - t0)
+    timings["triage_sample_per_code"] = round(min(triage_runs), 3)
+    vio.unpersist()
 
     # checkpoint-resume lifecycle (north rule: resumable from checkpoint
     # with per-partition lineage): a 3-rule job run end-to-end through

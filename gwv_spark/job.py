@@ -124,6 +124,15 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     )
     p.add_argument("--no-cache", action="store_true")
     p.add_argument(
+        "--sample",
+        type=int,
+        default=None,
+        metavar="K",
+        help="also write <output>/violations_sample: K deterministic "
+        "examples per (rule_id, errcode) plus exact totals (the triage "
+        "surface a human reads at 10^12 scale instead of the raw table)",
+    )
+    p.add_argument(
         "--ignore-error",
         action="store_true",
         help="quarantine per-record UDF crashes as __error__ rows "
@@ -322,6 +331,12 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         run_id=args.run_id or snapshot,
     )
     verdicts.write.mode("overwrite").parquet(f"{out}/verdicts")
+    if args.sample:
+        from gwv_spark import triage
+
+        triage.sample_violations(
+            violations.where(F.col("errcode") != "__error__"), k=args.sample
+        ).write.mode("overwrite").parquet(f"{out}/violations_sample")
     if recomputed:
         # run-metrics table (north rule: checkpoint + lineage + METRICS):
         # one row per recomputed rule — wall seconds (per-rule under

@@ -473,3 +473,39 @@ def test_bucket_groups_modulus_is_pinned(spark, tmp_path):
     with pytest.raises(SystemExit, match="bucket-groups"):
         job.main(["--input", inp, "--output", out, "--rules", "numexp",
                   "--bucket-groups", "2", "--resume"], spark=spark)
+
+
+def test_job_sample_writes_triage_table(spark, tmp_path):
+    """--sample K writes violations_sample: K deterministic examples per
+    (rule_id, errcode) with exact totals, consistent with the committed
+    violations table."""
+    data_dir = ensure_corpus(tmp_path / "corpus_s", 300)
+    out = tmp_path / "out_s"
+    job.main(
+        [
+            "--input", str(data_dir / "documents.parquet"),
+            "--output", str(out),
+            "--rules", "numexp", "delquote", "order",
+            "--n-buckets", "16",
+            "--sample", "3",
+        ],
+        spark=spark,
+    )
+    sample = spark.read.parquet(str(out / "violations_sample"))
+    assert set(sample.columns) == {
+        "rule_id", "errcode", "n_total", "sample_rank", "doc_id", "detail", "sortkey",
+    }
+    assert sample.where("sample_rank > 3").count() == 0
+    # totals agree with the committed violations table per (rule, code)
+    vio = spark.read.parquet(str(out / "violations"))
+    want = {
+        (r["rule_id"], r["errcode"]): r["n"]
+        for r in vio.groupBy("rule_id", "errcode").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        (r["rule_id"], r["errcode"]): r["n_total"]
+        for r in sample.select("rule_id", "errcode", "n_total").distinct().collect()
+    }
+    assert got == want
+    # every (rule, code) group is represented
+    assert set(got) == set(want)
