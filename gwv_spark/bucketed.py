@@ -40,12 +40,23 @@ B so a bucket's key file fits an executor's scan budget (e.g. B=65536
 
 from __future__ import annotations
 
+import hashlib
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gwv_spark.rules import RuleContext
 
 DEFAULT_BUCKETS = 8
+
+# layout metadata: one JSON line under <path>/_meta recording the corpus
+# snapshot the extracts were taken from, the bucket spec, and each
+# table's DDL — enough for a FRESH Spark session (a later spark-submit
+# job) to re-register the catalog entries and for the consistency pin
+# (a layout materialized from snapshot X must never serve a job
+# validating snapshot Y)
+_META = "_meta"
 
 
 def _write_bucketed(
@@ -83,6 +94,7 @@ def materialize(
     path: str,
     n_buckets: int = DEFAULT_BUCKETS,
     prefix: str = "gwv_b",
+    snapshot: str | None = None,
 ) -> dict[str, str]:
     """Ingest-time bucketed layout: the doc_id catalog plus the two RI
     probe extracts, all bucketed+sorted on their join key.
@@ -109,19 +121,104 @@ def materialize(
         "varbases": f"{prefix}_varbases",
         "docs": f"{prefix}_docs",
     }
-    catalog = ctx.docs.select(F.col("doc_id").alias("key"))
-    _write_bucketed(catalog, tables["catalog"], path, "key", n_buckets)
+    frames = {
+        "catalog": (ctx.docs.select(F.col("doc_id").alias("key")), "key"),
+        "quotes": (quote_probe(ctx).withColumnRenamed("part_base", "key"), "key"),
+        "varbases": (variant_probe(ctx).withColumnRenamed("base", "key"), "key"),
+        # full doc rows bucketed by doc_id — the uniqueness check's input
+        "docs": (ctx.docs.select("doc_id", F.size("spans").alias("n_spans")), "doc_id"),
+    }
+    meta_tables = {}
+    for logical, (df, key) in frames.items():
+        _write_bucketed(df, tables[logical], path, key, n_buckets)
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        meta_tables[logical] = {"table": tables[logical], "key": key, "ddl": ddl}
 
-    quotes = quote_probe(ctx).withColumnRenamed("part_base", "key")
-    _write_bucketed(quotes, tables["quotes"], path, "key", n_buckets)
-
-    varbases = variant_probe(ctx).withColumnRenamed("base", "key")
-    _write_bucketed(varbases, tables["varbases"], path, "key", n_buckets)
-
-    # full doc rows bucketed by doc_id — the uniqueness check's input
-    docs = ctx.docs.select("doc_id", F.size("spans").alias("n_spans"))
-    _write_bucketed(docs, tables["docs"], path, "doc_id", n_buckets)
+    meta = {"snapshot": snapshot, "n_buckets": n_buckets, "tables": meta_tables}
+    (
+        ctx.spark.createDataFrame([(json.dumps(meta),)], "v string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(f"{path}/{_META}")
+    )
     return tables
+
+
+def read_meta(spark: SparkSession, path: str) -> dict | None:
+    """The layout's metadata line, or None when no layout exists."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/{_META}")
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path):
+        return None
+    return json.loads(spark.read.text(f"{path}/{_META}").collect()[0]["value"])
+
+
+def attach(spark: SparkSession, path: str, meta: dict) -> dict[str, str]:
+    """Re-register the layout's catalog entries in THIS session.
+
+    ``saveAsTable`` registrations do not survive into a fresh Spark
+    session (a later spark-submit job), so the reader re-creates each
+    external bucketed table from the DDL recorded at materialize time —
+    the bucket spec is catalog metadata, which is exactly why a bare
+    parquet directory cannot carry it.  Idempotent per session."""
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    tables = {}
+    for logical, t in meta["tables"].items():
+        name, key, ddl = t["table"], t["key"], t["ddl"]
+        if not spark.catalog.tableExists(name):
+            spark.sql(
+                f"CREATE TABLE {name} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {int(meta['n_buckets'])} BUCKETS "
+                f"LOCATION '{path}/{name}'"
+            )
+        tables[logical] = name
+    return tables
+
+
+def ensure(
+    ctx: RuleContext,
+    path: str,
+    snapshot: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> dict[str, str]:
+    """Load the layout at ``path`` if it was materialized from exactly
+    this corpus ``snapshot``; otherwise (re)build it.
+
+    The snapshot pin is the correctness core: the probe extracts and the
+    catalog are DERIVED state — serving a stale layout against a grown
+    corpus would silently emit wrong RI verdicts, so staleness triggers
+    a rebuild, never a warning.  The table-name prefix is derived from
+    the layout path, so two layouts in one session cannot collide."""
+    meta = read_meta(ctx.spark, path)
+    if (
+        meta is not None
+        and meta.get("snapshot") == snapshot
+        and int(meta["n_buckets"]) == n_buckets
+    ):
+        return attach(ctx.spark, path, meta)
+    prefix = "gwv_b_" + hashlib.md5(path.encode()).hexdigest()[:8]
+    return materialize(ctx, path, n_buckets=n_buckets, prefix=prefix, snapshot=snapshot)
+
+
+def install(ctx: RuleContext, tables: dict[str, str]) -> None:
+    """Substitute the zero-Exchange bucketed plans for the two RI rules
+    in this context.
+
+    Seeds the prepared-plan cache (the engine's single plan source) with
+    violations built from the bucketed cores through the rules' OWN
+    shape projections (delquote.shape_missing / delvar.shape_missing),
+    so the substituted rows are column-for-column the shuffled rules'
+    rows.  Must run before the context builds those rules' plans."""
+    from gwv_spark.rules import delquote as dq
+    from gwv_spark.rules import delvar as dv
+
+    ctx.plan_cache["delquote"] = dq.shape_missing(
+        delquote_missing(ctx.spark, tables)
+    )
+    ctx.plan_cache["delvar"] = dv.shape_missing(delvar_missing(ctx.spark, tables))
 
 
 def delquote_missing(spark: SparkSession, tables: dict[str, str]) -> DataFrame:

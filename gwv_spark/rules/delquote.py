@@ -44,9 +44,10 @@ def missing_quotes(ctx: RuleContext) -> DataFrame:
     )
 
 
-@rule("delquote")
-def delquote(ctx: RuleContext) -> DataFrame:
-    missing = missing_quotes(ctx)
+def shape_missing(missing: DataFrame) -> DataFrame:
+    """Project the RI core (doc_id, part_full) onto the violations
+    schema — shared by the shuffled rule and the bucketed layout
+    (bucketed.py), so the two paths cannot drift."""
     return shape(
         missing,
         "delquote",
@@ -54,3 +55,8 @@ def delquote(ctx: RuleContext) -> DataFrame:
         F.array(tag_s(F.col("part_full"))),
         F.concat(F.col("doc_id"), F.lit("#"), F.col("part_full")),
     )
+
+
+@rule("delquote")
+def delquote(ctx: RuleContext) -> DataFrame:
+    return shape_missing(missing_quotes(ctx))

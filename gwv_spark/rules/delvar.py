@@ -47,7 +47,12 @@ def missing_bases(ctx: RuleContext) -> DataFrame:
     return variant_probe(ctx).join(catalog, "base", "left_anti")
 
 
+def shape_missing(missing: DataFrame) -> DataFrame:
+    """Project the RI core (doc_id, base) onto the violations schema —
+    shared by the shuffled rule and the bucketed layout (bucketed.py)."""
+    return shape(missing, "delvar", F.lit("0"), F.array(tag_s(F.col("base"))))
+
+
 @rule("delvar")
 def delvar(ctx: RuleContext) -> DataFrame:
-    missing = missing_bases(ctx)
-    return shape(missing, "delvar", F.lit("0"), F.array(tag_s(F.col("base"))))
+    return shape_missing(missing_bases(ctx))

@@ -119,3 +119,94 @@ def test_bucketed_scan_prunes_columns(spark, tables):
     df = spark.table(tables["quotes"]).select("key")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "part_full" not in plan.split("ReadSchema")[-1], plan
+
+
+def test_installed_plans_match_rules(spark, ctx, tables):
+    """install() substitutes the bucketed plans through the rules' own
+    shape projections: the full violation rows (schema included) must
+    equal the shuffled rules' rows."""
+    from gwv_spark import bucketed, engine
+
+    ctx2 = engine.make_context(spark, ctx.docs)
+    bucketed.install(ctx2, tables)
+    for rid in ("delquote", "delvar"):
+        got = ctx2.plan(rid)
+        want = ctx.plan(rid)
+        assert got.columns == want.columns
+        assert _rows(got) == _rows(want)
+
+
+def test_attach_survives_catalog_loss(spark, ctx, tmp_path_factory):
+    """A fresh Spark session has no saveAsTable registrations; attach()
+    must rebuild them from the recorded DDL and keep the zero-Exchange
+    property."""
+    from gwv_spark import bucketed
+
+    path = str(tmp_path_factory.mktemp("bucketed_attach"))
+    tables = bucketed.materialize(
+        ctx, path, n_buckets=4, prefix="t_gwv_att", snapshot="snapA"
+    )
+    before = _rows(bucketed.delquote_missing(spark, tables))
+    # simulate the fresh session: drop every catalog entry (data stays)
+    for t in tables.values():
+        spark.sql(f"DROP TABLE {t}")
+    meta = bucketed.read_meta(spark, path)
+    assert meta["snapshot"] == "snapA" and int(meta["n_buckets"]) == 4
+    reattached = bucketed.attach(spark, path, meta)
+    assert reattached == tables
+    df = bucketed.delquote_missing(spark, reattached)
+    assert _rows(df) == before
+    plan = _executed(df)
+    assert "Exchange" not in plan, plan
+    bucketed.drop(spark, tables)
+
+
+def test_job_bucketed_lifecycle(spark, tmp_path):
+    """job.py --bucketed end-to-end: violations identical to the
+    shuffled run; the layout is REUSED while the snapshot matches and
+    REBUILT when the corpus grows."""
+    import pyarrow.parquet as pq
+
+    from gwv_spark import bucketed, job
+    from gwv_spark.corpus import ensure_corpus
+
+    full = ensure_corpus(tmp_path / "gen_bkt", 460)
+    table = pq.read_table(full / "documents.parquet")
+    corpus = tmp_path / "corpus_bkt"
+    corpus.mkdir()
+    pq.write_table(table.slice(0, 400), corpus / "part-000.parquet")
+    inp = str(corpus)
+    rules = ["--rules", "delquote", "delvar", "numexp"]
+    lay = str(tmp_path / "layout_bkt")
+
+    job.main(["--input", inp, "--output", str(tmp_path / "out_plain"), *rules],
+             spark=spark)
+    job.main(["--input", inp, "--output", str(tmp_path / "out_bkt"),
+              "--bucketed", lay, "--bucketed-buckets", "4", *rules],
+             spark=spark)
+    plain = spark.read.parquet(str(tmp_path / "out_plain" / "violations"))
+    bkt = spark.read.parquet(str(tmp_path / "out_bkt" / "violations"))
+    assert _rows(plain) == _rows(bkt)
+    assert plain.where("rule_id = 'delquote'").count() > 0
+
+    # second run against the same snapshot: the layout must be reused,
+    # not rebuilt — pin via the meta file's modification time
+    meta1 = bucketed.read_meta(spark, lay)
+    job.main(["--input", inp, "--output", str(tmp_path / "out_bkt2"),
+              "--bucketed", lay, "--bucketed-buckets", "4", *rules],
+             spark=spark)
+    meta2 = bucketed.read_meta(spark, lay)
+    assert meta2 == meta1  # same snapshot, same spec — untouched
+
+    # grow the corpus: a new snapshot must REBUILD the layout, and the
+    # bucketed run must match the shuffled run over the grown corpus
+    pq.write_table(table.slice(400, 60), corpus / "part-001.parquet")
+    job.main(["--input", inp, "--output", str(tmp_path / "out_plain3"), *rules],
+             spark=spark)
+    job.main(["--input", inp, "--output", str(tmp_path / "out_bkt3"),
+              "--bucketed", lay, "--bucketed-buckets", "4", *rules],
+             spark=spark)
+    meta3 = bucketed.read_meta(spark, lay)
+    assert meta3["snapshot"] != meta1["snapshot"]
+    assert _rows(spark.read.parquet(str(tmp_path / "out_plain3" / "violations"))) == \
+        _rows(spark.read.parquet(str(tmp_path / "out_bkt3" / "violations")))
