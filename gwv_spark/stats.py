@@ -262,6 +262,54 @@ def snapshot_psi(current: DataFrame, baseline: DataFrame, eps: float = 1e-4) -> 
     )
 
 
+def snapshot_ks(current: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Kolmogorov–Smirnov statistic between two snapshots' span-length
+    histograms (north rule: "KS … on span-length … histograms vs a
+    baseline snapshot").
+
+    The snapshot rows ARE the per-value summary — (bucket=n_spans,
+    value=count), bounded by the distinct span-count range regardless of
+    corpus size — so the KS here is max |ΔCDF| over a full-outer join of
+    the two histograms.  The window runs over those bounded summary rows
+    only; all corpus-scale work already happened when the snapshots were
+    aggregated (corpus_snapshot's one groupBy per metric)."""
+    from pyspark.sql import Window
+
+    def hist(df: DataFrame, n: str) -> DataFrame:
+        # try_cast: under ANSI mode Catalyst may collapse this projection
+        # with the metric filter and evaluate the cast on non-histogram
+        # rows (bucket='all'), which must not fail the job
+        return df.where(F.col("metric") == "span_len_hist").select(
+            F.col("bucket").try_cast("long").alias("b"), F.col("value").alias(n)
+        )
+
+    j = (
+        hist(current, "n_cur")
+        .join(hist(baseline, "n_base"), "b", "full_outer")
+        .fillna(0.0, ["n_cur", "n_base"])
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = j.select(
+        F.sum("n_cur").over(w).alias("ca"), F.sum("n_base").over(w).alias("cb")
+    )
+    return (
+        cum.crossJoin(
+            F.broadcast(
+                j.agg(
+                    F.sum("n_cur").alias("ta"), F.sum("n_base").alias("tb")
+                )
+            )
+        )
+        .agg(
+            F.round(
+                F.max(F.abs(F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb"))),
+                6,
+            ).alias("ks")
+        )
+        .select(F.lit("span_len_hist").alias("metric"), "ks")
+    )
+
+
 def ks_statistic(
     df: DataFrame,
     value: Column,
