@@ -346,6 +346,24 @@ def main() -> None:
     timings["stream_simhash_two_drops"] = round(min(nd_runs), 3)
     cold_samples["stream_simhash_two_drops"] = round(nd_runs[0], 3)
 
+    # dedup grouping: near-dup pairs → transitive closure → one keeper
+    # per group (components.py, alternating large/small-star).  Times the
+    # full chain over the text corpus: simhash pass + log-round star
+    # contraction + keeper election — the corpus-dedup shape at 10^12.
+    from gwv_spark import components as cmod
+
+    text_df = spark.read.parquet(text_docs_path).select("doc_id", "text").cache()
+    text_df.count()
+    from gwv_spark.textops import simhash_near_pairs as _snp
+
+    cc_runs = []
+    for _ in range(2):
+        t0 = time.time()
+        force(cmod.dedup_keep_list(text_df, _snp(text_df, max_hamming=3)))
+        cc_runs.append(time.time() - t0)
+    timings["dedup_components_keep_list"] = round(min(cc_runs), 3)
+    text_df.unpersist()
+
     # throughput anchor at a size where executor compute dominates the
     # per-job constant (~50k docs at sf0.1 is overhead-bound): 1M
     # spark-generated docs, sustained = the warmed re-execution

@@ -1,0 +1,182 @@
+"""Connected-components dedup grouping (gwv_spark/components.py).
+
+Correctness model: a driver-side union-find over the same pair list is
+the reference; the distributed large-star/small-star result must agree
+exactly — membership AND the lexicographic-min component id — on
+adversarial topologies (long chains stress the log-round contraction,
+cliques stress dedup, random graphs stress everything at once).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from gwv_spark import components as C
+
+
+def union_find(pairs):
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups: dict[str, set[str]] = {}
+    for node in list(parent):
+        groups.setdefault(find(node), set()).add(node)
+    return {min(members): members for members in groups.values()}
+
+
+def expected_rows(pairs):
+    return sorted(
+        (doc, root) for root, members in union_find(pairs).items() for doc in members
+    )
+
+
+def run_cc(spark, pairs, partitions=None):
+    df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+    if partitions:
+        df = df.repartition(partitions)
+    out = C.connected_components(df)
+    return sorted((r["doc_id"], r["component_id"]) for r in out.collect())
+
+
+TOPOLOGIES = {
+    # a 200-node chain: diameter 199 — label propagation would need ~200
+    # rounds; the star contraction must close it in far fewer (bound
+    # asserted separately below)
+    "chain": [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(199)],
+    "star": [("hub", f"leaf{i:02d}") for i in range(40)],
+    "two_cliques": [
+        (f"a{i}", f"a{j}") for i in range(6) for j in range(i + 1, 6)
+    ] + [(f"b{i}", f"b{j}") for i in range(5) for j in range(i + 1, 5)],
+    "disjoint_pairs": [(f"p{i}x", f"p{i}y") for i in range(30)],
+    "self_loops_and_dups": [("s1", "s1"), ("s1", "s2"), ("s2", "s1"), ("s2", "s3"), ("s1", "s2")],
+}
+
+
+@pytest.mark.parametrize("name", sorted(TOPOLOGIES))
+def test_matches_union_find(spark, name):
+    pairs = TOPOLOGIES[name]
+    # self-loop-only nodes never connect to anything: union-find sees
+    # them as singletons, the edge list drops them — align the reference
+    ref = [
+        (d, c)
+        for d, c in expected_rows(pairs)
+        if any(a != b and d in (a, b) for a, b in pairs)
+    ]
+    assert run_cc(spark, pairs) == ref
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(42)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    pairs = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    assert run_cc(spark, pairs) == expected_rows(pairs)
+
+
+def test_partitioning_invariance(spark):
+    pairs = TOPOLOGIES["chain"]
+    assert run_cc(spark, pairs, partitions=1) == run_cc(spark, pairs, partitions=17)
+
+
+def test_chain_converges_in_log_rounds(spark, monkeypatch):
+    """The scale claim: a diameter-199 chain must close in O(log n)
+    alternating rounds, not O(diameter).  Count rounds via the
+    fingerprint hook."""
+    calls = {"n": 0}
+    orig = C._edge_fingerprint
+
+    def counting(edges):
+        calls["n"] += 1
+        return orig(edges)
+
+    monkeypatch.setattr(C, "_edge_fingerprint", counting)
+    run_cc(spark, TOPOLOGIES["chain"])
+    rounds = calls["n"] - 1  # first call is the pre-loop baseline
+    assert rounds <= 12, f"chain took {rounds} alternating rounds"
+
+
+def test_empty_pairs(spark):
+    df = spark.createDataFrame([], "doc_a string, doc_b string")
+    out = C.connected_components(df)
+    assert out.columns == ["doc_id", "component_id"]
+    assert out.count() == 0
+
+
+def test_assign_components_singletons(spark):
+    docs = spark.createDataFrame([(f"d{i}",) for i in range(6)], "doc_id string")
+    pairs = spark.createDataFrame([("d0", "d1"), ("d1", "d2")], "doc_a string, doc_b string")
+    got = {r["doc_id"]: r["component_id"] for r in C.assign_components(docs, pairs).collect()}
+    assert got == {"d0": "d0", "d1": "d0", "d2": "d0", "d3": "d3", "d4": "d4", "d5": "d5"}
+
+
+def test_keep_list_default_min_id(spark):
+    docs = spark.createDataFrame([(f"d{i}", i) for i in range(5)], "doc_id string, q int")
+    pairs = spark.createDataFrame([("d3", "d1"), ("d1", "d2")], "doc_a string, doc_b string")
+    rows = C.dedup_keep_list(docs, pairs).collect()
+    kept = sorted(r["doc_id"] for r in rows if r["keep"])
+    assert kept == ["d0", "d1", "d4"]  # min of {d1,d2,d3} plus singletons
+    # exactly one keeper per component
+    per_comp = {}
+    for r in rows:
+        per_comp.setdefault(r["component_id"], 0)
+        per_comp[r["component_id"]] += int(r["keep"])
+    assert all(v == 1 for v in per_comp.values())
+
+
+def test_keep_list_prefer_column(spark):
+    docs = spark.createDataFrame(
+        [("d1", 1.0), ("d2", 9.0), ("d3", 9.0), ("d9", 0.0)],
+        "doc_id string, quality double",
+    )
+    pairs = spark.createDataFrame([("d1", "d2"), ("d2", "d3")], "doc_a string, doc_b string")
+    rows = C.dedup_keep_list(docs, pairs, prefer=F.col("quality")).collect()
+    kept = sorted(r["doc_id"] for r in rows if r["keep"])
+    # highest quality wins; d2 beats d3 on the doc_id tiebreak
+    assert kept == ["d2", "d9"]
+
+
+def test_no_cartesian_product(spark):
+    pairs = spark.createDataFrame(TOPOLOGIES["two_cliques"], "doc_a string, doc_b string")
+    plan = C.connected_components(pairs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_near_dup_groups_end_to_end(spark, monkeypatch):
+    """Corpus → simhash pairs → groups: transitive closure is visible
+    (a-b and b-c near pairs land in ONE group even if a-c exceeds the
+    hamming bound) and the summary matches the keep-list view."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    mid = base.replace("quick", "rapid")
+    far = mid.replace("lazy", "idle").replace("brown", "dark")
+    docs = spark.createDataFrame(
+        [("a", base), ("b", mid), ("c", far), ("x", "completely unrelated text about spark " * 9)],
+        "doc_id string, text string",
+    )
+    from gwv_spark.textops import simhash_near_pairs
+
+    pairs = simhash_near_pairs(docs, max_hamming=6)
+    got_pairs = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    groups = C.near_dup_groups(docs, max_hamming=6)
+    rows = groups.collect()
+    members = {m for r in rows for m in r["doc_ids"]}
+    # whatever the pair set is, the groups must be its transitive closure
+    assert members == {d for p in got_pairs for d in p}
+    for r in rows:
+        assert r["canonical_doc"] == min(r["doc_ids"])
+        assert r["n_docs"] == len(r["doc_ids"]) >= 2
+    if ("a", "b") in got_pairs and ("b", "c") in got_pairs:
+        assert any({"a", "b", "c"} <= set(r["doc_ids"]) for r in rows)
