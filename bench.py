@@ -364,6 +364,20 @@ def main() -> None:
     timings["dedup_components_keep_list"] = round(min(cc_runs), 3)
     text_df.unpersist()
 
+    # heavy hitters: mergeable Misra-Gries over the documents source
+    # column — stage 1 zero-shuffle task summaries, stage 2 a KB-sized
+    # fold; the per-append answer to "dominant values of this column"
+    # that an exact groupBy would buy with a full-table shuffle.
+    from gwv_spark import freq as fmod
+
+    fq_df = spark.read.parquet(text_docs_path)
+    fq_runs = []
+    for _ in range(2):
+        t0 = time.time()
+        force(fmod.frequent_items(fq_df, "source", k=64))
+        fq_runs.append(time.time() - t0)
+    timings["freq_heavy_hitters_source"] = round(min(fq_runs), 3)
+
     # throughput anchor at a size where executor compute dominates the
     # per-job constant (~50k docs at sf0.1 is overhead-bound): 1M
     # spark-generated docs, sustained = the warmed re-execution

@@ -1,0 +1,126 @@
+"""Misra-Gries frequent-items sketch (gwv_spark/freq.py).
+
+Correctness model: exact value counts computed driver-side over the
+same data are the reference; the sketch must satisfy its certified
+bounds — count_lo ≤ true ≤ count_lo + error_bound for every reported
+item, error_bound ≤ n/(k+1), and every item with true count above the
+bound present in the merged summary — under every partitioning (the
+weights may vary with partitioning; the guarantees may not).
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from gwv_spark import freq
+
+
+def zipf_values(n=20000, n_items=400, seed=7):
+    rng = random.Random(seed)
+    items = [f"item{i:04d}" for i in range(n_items)]
+    weights = [1.0 / (i + 1) for i in range(n_items)]
+    return rng.choices(items, weights=weights, k=n)
+
+
+@pytest.fixture(scope="module")
+def zipf(spark):
+    vals = zipf_values()
+    df = spark.createDataFrame([(v,) for v in vals], "val string")
+    return df, Counter(vals)
+
+
+@pytest.mark.parametrize("parts", [1, 4, 13])
+def test_bounds_hold_under_any_partitioning(spark, zipf, parts):
+    df, truth = zipf
+    k = 50
+    summary = freq.merged_summary(
+        freq.partition_sketches(df.repartition(parts), "val", k), k
+    )
+    rows = summary.collect()
+    n = sum(truth.values())
+    assert rows, "summary must not be empty"
+    eb = rows[0]["error_bound"]
+    assert 0 <= eb <= n / (k + 1)
+    for r in rows:
+        true = truth[r["item"]]
+        assert r["count_lo"] <= true <= r["count_hi"], (r["item"], r["count_lo"], true)
+        assert r["n_total"] == n
+    # completeness: every item heavier than the bound is in the summary
+    reported = {r["item"] for r in rows}
+    for item, c in truth.items():
+        if c > eb:
+            assert item in reported, (item, c, eb)
+
+
+def test_exact_when_distinct_fits(spark):
+    """No prune ever fires when distinct values ≤ k: the sketch IS the
+    exact count table, error_bound == 0."""
+    vals = [f"v{i % 10}" for i in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], "val string").repartition(5)
+    rows = freq.frequent_items(df, "val", k=16).collect()
+    truth = Counter(vals)
+    assert {r["item"]: r["count_lo"] for r in rows} == dict(truth)
+    assert all(r["error_bound"] == 0 for r in rows)
+
+
+def test_planted_heavy_hitter_rank_one(spark):
+    """An item carrying 20% of the stream must surface as rank 1 with a
+    lower bound that already clears every other item's upper bound."""
+    rng = random.Random(13)
+    vals = ["HOT" if rng.random() < 0.2 else f"cold{rng.randrange(5000)}" for _ in range(30000)]
+    df = spark.createDataFrame([(v,) for v in vals], "val string").repartition(8)
+    rows = freq.frequent_items(df, "val", k=50, top=5).collect()
+    assert rows[0]["item"] == "HOT"
+    truth = Counter(vals)
+    assert rows[0]["count_lo"] <= truth["HOT"] <= rows[0]["count_hi"]
+    assert rows[0]["count_lo"] > rows[1]["count_hi"]
+
+
+def test_nulls_excluded(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,), ("b",)], "val string"
+    )
+    rows = freq.frequent_items(df, "val", k=8).collect()
+    assert {r["item"]: r["count_lo"] for r in rows} == {"a": 2, "b": 1}
+    assert rows[0]["n_total"] == 3  # nulls are not part of n
+
+
+def test_non_string_column_casts(spark):
+    df = spark.range(0, 1000).select((F.col("id") % 7).alias("m"))
+    rows = freq.frequent_items(df, "m", k=16).collect()
+    assert {r["item"] for r in rows} == {str(i) for i in range(7)}
+    assert all(r["count_lo"] in (142, 143) for r in rows)
+
+
+def test_stage1_no_shuffle(spark, zipf):
+    df, _ = zipf
+    plan = (
+        freq.partition_sketches(df, "val", 32)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_stage1_emits_bounded_rows(spark):
+    """Each task emits at most k item rows + 1 sentinel even over a
+    high-cardinality column (the working-set prune fires)."""
+    df = spark.range(0, 50000).select(
+        F.concat(F.lit("u"), (F.col("id") % 9000).cast("string")).alias("val")
+    ).repartition(3)
+    k = 20
+    sk = freq.partition_sketches(df, "val", k)
+    per_task = (
+        sk.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(
+            F.sum(F.col("item").isNotNull().cast("int")).alias("items"),
+            F.sum(F.col("item").isNull().cast("int")).alias("sentinels"),
+        )
+        .collect()
+    )
+    for r in per_task:
+        assert r["items"] <= k
+        assert r["sentinels"] == 1
