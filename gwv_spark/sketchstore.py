@@ -166,6 +166,68 @@ def column_sketches(
     return src.mapInPandas(gen, SKETCH_SCHEMA)
 
 
+def fold_file_sketches(sketches: DataFrame, delta: float = 500.0) -> DataFrame:
+    """Fold per-SPLIT sketch rows into exactly one row per
+    (file, column).
+
+    ``column_sketches`` emits a row per file-SPLIT (``input_file_name``
+    rides on rows; a file larger than ``spark.sql.files.maxPartitionBytes``
+    lands in several tasks).  The store contract, however, is one row
+    per (file, column): ``stats_from_store`` dedups on that key to make
+    racing-writer duplicates exact, and that dedup is only sound when
+    same-key rows are identical — split rows are NOT (each covers a
+    slice of the file), so they must be merged before the write or
+    every multi-split file is undercounted to a single split's share.
+
+    Counts sum, min/max fold, HLL registers element-wise max, t-digests
+    merge by centroid ingestion.  Rows are sorted deterministically
+    before merging so the folded row is a pure function of the row
+    multiset (the property the racing-writer dedup relies on)."""
+
+    def fold(pdf):
+        import pandas as pd
+
+        if len(pdf) == 1:
+            return pdf
+        pdf = pdf.sort_values(
+            ["n", "n_null", "vmin", "vmax"], na_position="last", kind="mergesort"
+        )
+        reg = None
+        d = Digest(delta)
+        has_digest = False
+        for raw in pdf["hll"]:
+            r = hll.from_bytes(raw)
+            reg = r if reg is None else hll.merge(reg, r)
+        for means, weights, vmin, vmax, cnt in zip(
+            pdf["td_means"], pdf["td_weights"], pdf["vmin"], pdf["vmax"],
+            pdf["n"] - pdf["n_null"],
+        ):
+            if means is not None and len(means) > 0:
+                has_digest = True
+                d.add_digest(
+                    np.asarray(means), np.asarray(weights),
+                    float(vmin), float(vmax), int(cnt),
+                )
+        row = d.to_row() if has_digest else None
+        return pd.DataFrame(
+            [
+                {
+                    "file": pdf["file"].iloc[0],
+                    "column": pdf["column"].iloc[0],
+                    "n": int(pdf["n"].sum()),
+                    "n_null": int(pdf["n_null"].sum()),
+                    "vmin": row["vmin"] if row else None,
+                    "vmax": row["vmax"] if row else None,
+                    "hll": hll.to_bytes(reg),
+                    "td_means": row["means"] if row else None,
+                    "td_weights": row["weights"] if row else None,
+                }
+            ]
+        )
+
+    return sketches.groupBy("file", "column").applyInPandas(fold, SKETCH_SCHEMA)
+
+
 def merged_column_stats(
     sketches: DataFrame, delta: float = 500.0
 ) -> DataFrame:
@@ -275,7 +337,12 @@ def update_store(
         chunk = new[i : i + files_per_batch]
         batch_id = hashlib.sha256("\n".join(chunk).encode()).hexdigest()[:16]
         df = spark.read.parquet(*chunk)
-        sk = column_sketches(df, columns, p, delta, by_file=True)
+        # fold split-grain rows to the store's (file, column) grain —
+        # required for correctness whenever a data file spans several
+        # scan tasks (see fold_file_sketches)
+        sk = fold_file_sketches(
+            column_sketches(df, columns, p, delta, by_file=True), delta
+        )
         # presence markers (column = ""): a ZERO-ROW data file yields no
         # sketch rows (input_file_name rides on rows), so without a
         # marker the file-list diff would re-scan it on every update

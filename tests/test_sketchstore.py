@@ -430,3 +430,54 @@ def test_hll_accuracy_sweep_across_cardinalities():
         hll.accumulate(reg, h)
         est = hll.estimate(reg)
         assert abs(est - n) / n <= 0.025, (n, est)
+
+
+def test_multi_split_file_counts_exact(spark, tmp_path):
+    """A data file larger than maxPartitionBytes spans several scan
+    tasks, so column_sketches emits several rows for one (file, column);
+    the store must fold them to the (file, column) grain or the
+    read-time racing-writer dedup silently keeps one split's share.
+    Regression: before fold_file_sketches this undercounted every
+    multi-split file."""
+    data = str(tmp_path / "data")
+    store = str(tmp_path / "store")
+    n = 60_000
+    (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("k"), (F.col("id") % 700).cast("string")).alias("key"),
+            F.col("id").cast("double").alias("val"),
+        )
+        .coalesce(1)
+        # small row groups: a split only yields rows when a row group
+        # starts inside its byte range, so multi-task reads of one file
+        # need a multi-row-group file
+        .write.option("parquet.block.size", 65536).parquet(data)
+    )
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try:
+        raw = sketchstore.column_sketches(
+            spark.read.parquet(data), ["key", "val"], by_file=True
+        )
+        per_key = raw.groupBy("file", "column").count().collect()
+        assert max(r["count"] for r in per_key) > 1, (
+            "precondition: the file must actually split"
+        )
+        sketchstore.update_store(spark, data, store, ["key", "val"])
+        got = _stats_by_col(sketchstore.stats_from_store(spark, store))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert got["key"]["n"] == n
+    assert got["val"]["n"] == n
+    assert got["val"]["vmin"] == 0.0 and got["val"]["vmax"] == float(n - 1)
+    assert abs(got["key"]["distinct_est"] - 700) / 700 <= 0.025
+    # store grain restored: exactly one row per (file, column)
+    rows = (
+        spark.read.parquet(store)
+        .where(F.col("column") != "")
+        .groupBy("file", "column")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 1 for r in rows)
