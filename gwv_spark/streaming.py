@@ -1041,8 +1041,11 @@ def make_sketch_batch_processor(
     from gwv_spark import sketchstore
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        sk = sketchstore.column_sketches(
-            batch_df, columns, p=p, delta=delta, by_file=True
+        sk = sketchstore.fold_file_sketches(
+            sketchstore.column_sketches(
+                batch_df, columns, p=p, delta=delta, by_file=True
+            ),
+            delta,
         )
         (
             sk.withColumn("batch_id", F.lit(f"epoch-{int(epoch_id)}"))
