@@ -43,19 +43,21 @@ from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["partition_sketches", "merged_summary", "frequent_items"]
+__all__ = ["partition_sketches", "merged_summary", "frequent_items", "mg_prune"]
 
 SKETCH_SCHEMA = "item string, w long, n long"
 
 
-def _mg_prune(acc, keep: int):
+def mg_prune(acc, keep: int):
     """Misra-Gries prune to ≤ keep counters: subtract the (keep+1)-th
-    largest weight from everything, drop non-positive.  Vectorized."""
+    largest weight from everything, drop non-positive.  Vectorized.
+    Shared with the sketch store's per-column heavy-hitter rows."""
     if len(acc) <= keep:
         return acc
     delta = acc.nlargest(keep + 1).iloc[-1]
     acc = acc - delta
     return acc[acc > 0]
+
 
 
 def partition_sketches(df: DataFrame, col: str, k: int = 64) -> DataFrame:
@@ -78,8 +80,8 @@ def partition_sketches(df: DataFrame, col: str, k: int = 64) -> DataFrame:
             n += int(vc.sum())
             acc = acc.add(vc, fill_value=0).astype("int64")
             if len(acc) > work_cap:
-                acc = _mg_prune(acc, 4 * k)
-        acc = _mg_prune(acc, k)
+                acc = mg_prune(acc, 4 * k)
+        acc = mg_prune(acc, k)
         rows = [{"item": str(i), "w": int(w), "n": 0} for i, w in acc.items()]
         rows.append({"item": None, "w": 0, "n": n})
         yield pd.DataFrame(rows)

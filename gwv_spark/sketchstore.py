@@ -40,18 +40,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gwv_spark import hll
+from gwv_spark.freq import mg_prune
 from gwv_spark.sketch import Digest
 
 SKETCH_SCHEMA = (
     "file string, column string, n bigint, n_null bigint, "
     "vmin double, vmax double, hll binary, "
-    "td_means array<double>, td_weights array<double>"
+    "td_means array<double>, td_weights array<double>, "
+    "mg_items array<string>, mg_weights array<bigint>"
 )
 
 STATS_SCHEMA = (
     "column string, n bigint, n_null bigint, null_rate double, "
     "distinct_est double, vmin double, vmax double, "
-    "p25 double, p50 double, p75 double, n_sketch_rows bigint"
+    "p25 double, p50 double, p75 double, n_sketch_rows bigint, "
+    "top_items array<string>, top_weights array<bigint>, "
+    "top_error_bound double"
 )
 
 _QS = (0.25, 0.50, 0.75)
@@ -68,13 +72,16 @@ def _norm_file(path: str) -> str:
 
 
 class _ColState:
-    __slots__ = ("n", "n_null", "reg", "digest")
+    __slots__ = ("n", "n_null", "reg", "digest", "mg")
 
     def __init__(self, p: int, numeric: bool, delta: float):
+        import pandas as pd
+
         self.n = 0
         self.n_null = 0
         self.reg = hll.empty_registers(p)
         self.digest = Digest(delta) if numeric else None
+        self.mg = pd.Series(dtype="int64")
 
 
 def _numeric_columns(df: DataFrame, columns: Sequence[str]) -> set[str]:
@@ -85,20 +92,32 @@ def _numeric_columns(df: DataFrame, columns: Sequence[str]) -> set[str]:
     return num
 
 
+MG_VALUE_WIDTH = 64  # heavy-hitter keys are truncated to this many chars
+
+
 def column_sketches(
     df: DataFrame,
     columns: Sequence[str] | None = None,
     p: int = hll.DEFAULT_P,
     delta: float = 500.0,
     by_file: bool = False,
+    mg_k: int = 32,
 ) -> DataFrame:
     """One mergeable sketch row per (file, column) — a single pass over
     the scan, zero shuffle (plan-guarded in tests/test_sketchstore.py).
 
     JVM side emits, per profiled column, ``xxhash64(col)`` + an is-null
-    flag (+ a double cast for numerics); the Arrow batches reaching
-    Python hold only those narrow derived columns, and every update is
-    a whole-array numpy op (hll.accumulate / Digest.add_values)."""
+    flag (+ a double cast for numerics, + a width-capped string for the
+    heavy-hitter counters); the Arrow batches reaching Python hold only
+    those narrow derived columns, and every update is a whole-array
+    numpy/pandas op (hll.accumulate / Digest.add_values / value_counts).
+
+    Heavy hitters: a Misra-Gries summary of ``mg_k`` counters per
+    (file, column) (freq.py's mergeable formulation).  Keys are
+    truncated to MG_VALUE_WIDTH chars JVM-side to bound the Arrow
+    transfer — dominant-value reporting is a categorical question, and
+    the truncation is applied identically everywhere so truncated keys
+    merge consistently."""
     cols = list(columns) if columns is not None else [
         f.name for f in df.schema.fields
         if isinstance(f.dataType, (T.NumericType, T.StringType))
@@ -110,6 +129,9 @@ def column_sketches(
     for i, c in enumerate(cols):
         proj.append(F.xxhash64(F.col(c)).alias(f"h{i}"))
         proj.append(F.isnull(F.col(c)).cast("tinyint").alias(f"z{i}"))
+        proj.append(
+            F.substring(F.col(c).cast("string"), 1, MG_VALUE_WIDTH).alias(f"s{i}")
+        )
         if c in numeric:
             proj.append(F.col(c).cast("double").alias(f"v{i}"))
     src = df.select(*proj)
@@ -139,6 +161,11 @@ def column_sketches(
                     st.n += int(z.size)
                     st.n_null += int(z.sum())
                     hll.accumulate(st.reg, h[nonnull])
+                    vc = pdf[f"s{i}"][mask].value_counts()
+                    if len(vc):
+                        st.mg = st.mg.add(vc, fill_value=0).astype("int64")
+                        if len(st.mg) > 8 * mg_k:
+                            st.mg = mg_prune(st.mg, 4 * mg_k)
                     if st.digest is not None:
                         v = pdf[f"v{i}"].to_numpy(
                             dtype="float64", na_value=np.nan
@@ -147,6 +174,8 @@ def column_sketches(
         rows = []
         for (fkey, c), st in states.items():
             row = st.digest.to_row() if st.digest is not None else None
+            mg = mg_prune(st.mg, mg_k)
+            order = sorted(mg.items(), key=lambda kv: (-kv[1], kv[0]))
             rows.append(
                 {
                     "file": fkey,
@@ -158,6 +187,8 @@ def column_sketches(
                     "hll": hll.to_bytes(st.reg),
                     "td_means": row["means"] if row else None,
                     "td_weights": row["weights"] if row else None,
+                    "mg_items": [str(i) for i, _ in order],
+                    "mg_weights": [int(w) for _, w in order],
                 }
             )
         if rows:
@@ -166,7 +197,26 @@ def column_sketches(
     return src.mapInPandas(gen, SKETCH_SCHEMA)
 
 
-def fold_file_sketches(sketches: DataFrame, delta: float = 500.0) -> DataFrame:
+def _merge_mg_rows(items_col, weights_col, mg_k: int):
+    """Sum MG counters across sketch rows, prune to mg_k, return the
+    deterministic (-weight, item) ordering.  Order-independent: weights
+    sum per item before the single prune."""
+    import pandas as pd
+
+    acc = pd.Series(dtype="int64")
+    for items, weights in zip(items_col, weights_col):
+        if items is not None and len(items) > 0:
+            s = pd.Series(
+                np.asarray(weights, dtype="int64"), index=list(items)
+            )
+            acc = acc.add(s, fill_value=0).astype("int64")
+    acc = mg_prune(acc, mg_k)
+    return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def fold_file_sketches(
+    sketches: DataFrame, delta: float = 500.0, mg_k: int = 32
+) -> DataFrame:
     """Fold per-SPLIT sketch rows into exactly one row per
     (file, column).
 
@@ -209,6 +259,7 @@ def fold_file_sketches(sketches: DataFrame, delta: float = 500.0) -> DataFrame:
                     float(vmin), float(vmax), int(cnt),
                 )
         row = d.to_row() if has_digest else None
+        order = _merge_mg_rows(pdf["mg_items"], pdf["mg_weights"], mg_k)
         return pd.DataFrame(
             [
                 {
@@ -221,6 +272,8 @@ def fold_file_sketches(sketches: DataFrame, delta: float = 500.0) -> DataFrame:
                     "hll": hll.to_bytes(reg),
                     "td_means": row["means"] if row else None,
                     "td_weights": row["weights"] if row else None,
+                    "mg_items": [str(i) for i, _ in order],
+                    "mg_weights": [int(w) for _, w in order],
                 }
             ]
         )
@@ -229,7 +282,7 @@ def fold_file_sketches(sketches: DataFrame, delta: float = 500.0) -> DataFrame:
 
 
 def merged_column_stats(
-    sketches: DataFrame, delta: float = 500.0
+    sketches: DataFrame, delta: float = 500.0, mg_k: int = 32
 ) -> DataFrame:
     """Fold sketch rows into one stats row per column.  The shuffle
     moves KB-sized sketch rows grouped by column name — independent of
@@ -257,6 +310,8 @@ def merged_column_stats(
                 )
         qs = d.quantiles(_QS)
         n_val = n - n_null
+        order = _merge_mg_rows(pdf["mg_items"], pdf["mg_weights"], mg_k)
+        mg_mass = sum(w for _, w in order)
         return pd.DataFrame(
             [
                 {
@@ -273,6 +328,14 @@ def merged_column_stats(
                     "p50": qs[1],
                     "p75": qs[2],
                     "n_sketch_rows": int(len(pdf)),
+                    "top_items": [str(i) for i, _ in order],
+                    "top_weights": [int(w) for _, w in order],
+                    # mergeable-MG guarantee: every top_weights[i] is a
+                    # lower bound; true count ≤ weight + this bound, and
+                    # any value heavier than the bound is present
+                    "top_error_bound": (
+                        (n_val - mg_mass) / (mg_k + 1) if n_val else 0.0
+                    ),
                 }
             ]
         )
@@ -288,6 +351,17 @@ def sketch_column_stats(
 ) -> DataFrame:
     """One-shot convenience: sketch + fold in a single plan."""
     return merged_column_stats(column_sketches(df, columns, p, delta), delta)
+
+
+def top_values(stats: DataFrame, column: str) -> list[tuple[str, int]]:
+    """Convenience: the heavy-hitter list of one column from a stats
+    DataFrame as [(value, count_lower_bound), ...], heaviest first."""
+    row = stats.where(F.col("column") == column).select(
+        "top_items", "top_weights"
+    ).collect()
+    if not row:
+        return []
+    return list(zip(row[0]["top_items"], (int(w) for w in row[0]["top_weights"])))
 
 
 # ------------------------------------------------------------------- store
@@ -350,7 +424,7 @@ def update_store(
         # the fold filters them out (stats_from_store) and they carry no
         # counts.
         markers = spark.createDataFrame(
-            [(f, "", 0, 0, None, None, None, None, None) for f in chunk],
+            [(f, "", 0, 0, None, None, None, None, None, None, None) for f in chunk],
             SKETCH_SCHEMA,
         )
         (

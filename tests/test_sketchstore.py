@@ -229,9 +229,11 @@ def test_store_retry_is_idempotent(spark, table, tmp_path):
         sketchstore._norm_file(f)
         for f in spark.read.parquet(data).inputFiles()
     )
-    sk = sketchstore.column_sketches(spark.read.parquet(*files), ["key"], by_file=True)
+    sk = sketchstore.fold_file_sketches(
+        sketchstore.column_sketches(spark.read.parquet(*files), ["key"], by_file=True)
+    )
     markers = spark.createDataFrame(
-        [(f, "", 0, 0, None, None, None, None, None) for f in files],
+        [(f, "", 0, 0, None, None, None, None, None, None, None) for f in files],
         sketchstore.SKETCH_SCHEMA,
     )
     sk = sk.unionByName(markers)
@@ -481,3 +483,54 @@ def test_multi_split_file_counts_exact(spark, tmp_path):
         .collect()
     )
     assert all(r["count"] == 1 for r in rows)
+
+
+def test_store_heavy_hitters(spark, tmp_path):
+    """The store's MG tier: a planted 25% value must surface as the top
+    item of its column with the certified sandwich (lo <= true <= lo +
+    bound) holding through the per-file → store → fold pipeline, and an
+    appended file's hitters must fold in incrementally."""
+    data = str(tmp_path / "data")
+    store = str(tmp_path / "store")
+    n = 24_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 4 == 0, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("c"), (F.col("id") % 3000).cast("string")))
+        .alias("cat")
+    ).repartition(3)
+    df.write.parquet(data)
+    sketchstore.update_store(spark, data, store, ["cat"])
+    got = _stats_by_col(sketchstore.stats_from_store(spark, store))["cat"]
+    true_hot = n // 4
+    assert got["top_items"][0] == "HOT"
+    lo = got["top_weights"][0]
+    assert lo <= true_hot <= lo + got["top_error_bound"]
+    assert got["top_error_bound"] <= (n - sum(got["top_weights"])) / 33 + 1e-9
+
+    # append a file that makes a NEW value dominant overall
+    extra = spark.range(n, n + 40_000).select(F.lit("HOT2").alias("cat"))
+    extra.coalesce(1).write.mode("append").parquet(data)
+    sketchstore.update_store(spark, data, store, ["cat"])
+    got2 = _stats_by_col(sketchstore.stats_from_store(spark, store))["cat"]
+    assert got2["top_items"][0] == "HOT2"
+    assert got2["top_items"][1] == "HOT"
+    lo2 = dict(zip(got2["top_items"], got2["top_weights"]))
+    assert lo2["HOT2"] <= 40_000 <= lo2["HOT2"] + got2["top_error_bound"]
+    assert lo2["HOT"] <= true_hot <= lo2["HOT"] + got2["top_error_bound"]
+    # convenience accessor agrees
+    tv = sketchstore.top_values(sketchstore.stats_from_store(spark, store), "cat")
+    assert tv[0] == ("HOT2", lo2["HOT2"])
+
+
+def test_store_heavy_hitters_exact_low_cardinality(spark, tmp_path):
+    """Distincts ≤ mg_k: no prune fires anywhere, so the store's heavy
+    hitters are EXACT counts with a zero bound, whatever the file
+    layout."""
+    data = str(tmp_path / "data")
+    store = str(tmp_path / "store")
+    df = spark.range(9_000).select((F.col("id") % 5).cast("string").alias("g")).repartition(4)
+    df.write.parquet(data)
+    sketchstore.update_store(spark, data, store, ["g"])
+    got = _stats_by_col(sketchstore.stats_from_store(spark, store))["g"]
+    assert got["top_error_bound"] == 0.0
+    assert dict(zip(got["top_items"], got["top_weights"])) == {str(i): 1800 for i in range(5)}
