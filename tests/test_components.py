@@ -180,3 +180,42 @@ def test_near_dup_groups_end_to_end(spark, monkeypatch):
         assert r["n_docs"] == len(r["doc_ids"]) >= 2
     if ("a", "b") in got_pairs and ("b", "c") in got_pairs:
         assert any({"a", "b", "c"} <= set(r["doc_ids"]) for r in rows)
+
+
+def test_dedup_job_cli(spark, tmp_path):
+    """The spark-submit surface end to end: pairs → groups → keep list →
+    deduped corpus, with exact-hash pairs unioned in and a quality
+    preference deciding survivors."""
+    from gwv_spark import dedup_job
+
+    base = "common shared text that repeats across documents " * 6
+    rows = [
+        ("d1", base, 1.0),
+        ("d2", base.replace("shared", "joint"), 9.0),   # near-dup of d1
+        ("d3", "an entirely different document about spark " * 8, 5.0),
+        ("d4", "an entirely different document about spark " * 8, 2.0),  # exact dup of d3
+        ("d5", "unique and unlike anything else here " * 7, 3.0),
+    ]
+    data = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(rows, "doc_id string, text string, quality double").write.parquet(data)
+    dedup_job.main(
+        ["--input", data, "--output", out, "--max-hamming", "6",
+         "--exact", "--prefer", "quality", "--write-corpus"],
+        spark=spark,
+    )
+    keep = {r["doc_id"]: r for r in spark.read.parquet(f"{out}/keep_list").collect()}
+    assert len(keep) == 5
+    # exact dups grouped; quality elects d3 over d4
+    assert keep["d3"]["component_id"] == keep["d4"]["component_id"]
+    assert keep["d3"]["keep"] and not keep["d4"]["keep"]
+    # near-dups grouped; quality elects d2 over d1
+    if keep["d1"]["component_id"] == keep["d2"]["component_id"]:
+        assert keep["d2"]["keep"] and not keep["d1"]["keep"]
+    assert keep["d5"]["keep"]
+    groups = spark.read.parquet(f"{out}/groups").collect()
+    assert all(r["n_docs"] >= 2 for r in groups)
+    survivors = {r["doc_id"] for r in spark.read.parquet(f"{out}/deduped").collect()}
+    assert survivors == {d for d, r in keep.items() if r["keep"]}
+    # deduped corpus keeps the original columns only
+    assert set(spark.read.parquet(f"{out}/deduped").columns) == {"doc_id", "text", "quality"}
