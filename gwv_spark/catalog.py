@@ -175,3 +175,114 @@ def load_snapshot(spark: SparkSession, ref: str, sid: str) -> DataFrame:
             f"e.g. {missing[0]}"
         )
     return spark.read.parquet(*rec["files"])
+
+
+def _leaf_dirs(ref: str) -> list[Path]:
+    """Directories holding data files directly (a partitioned table's
+    partition dirs; the root for an unpartitioned one).  Underscore/dot
+    paths (``_snapshots``, ``_stats``, checkpoints) are invisible, the
+    same rule Spark's file index applies."""
+    base = Path(ref)
+    leaves = set()
+    for f in base.rglob("*.parquet"):
+        if any(part.startswith(("_", ".")) for part in f.relative_to(base).parts):
+            continue
+        leaves.add(f.parent)
+    return sorted(leaves)
+
+
+def _finish_swap(leaf: Path) -> None:
+    """Complete a compaction swap from its journal — idempotent, called
+    both on the happy path and when re-entering after a crash."""
+    tmp = leaf / "_compact_tmp"
+    plan_path = tmp / "_PLAN.json"
+    plan = json.loads(plan_path.read_text())
+    for old in plan["old"]:
+        p = Path(old)
+        if p.exists():
+            p.unlink()
+    for staged in plan["staged"]:
+        s = Path(staged)
+        if s.exists():
+            s.rename(leaf / f"compacted-{s.name}")
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def compact(
+    spark: SparkSession,
+    ref: str,
+    target_file_bytes: int = 128 << 20,
+    min_files: int = 2,
+) -> dict:
+    """Bin-pack a parquet table's small files into ~target-sized ones —
+    the ``rewrite_data_files`` maintenance action streaming sinks need:
+    per-epoch dynamic-overwrite commits leave one small file per
+    (epoch, partition), and a long-running stream turns every scan into
+    a file-listing problem.  On a real Iceberg deployment the catalog's
+    rewrite action replaces this; the surrogate keeps the same contract
+    at the directory level.
+
+    Each partition leaf is compacted INDEPENDENTLY (the partition
+    layout — and therefore dynamic partition overwrite of future epochs
+    — is preserved; files inside a leaf carry no partition columns
+    before or after).  Per leaf: stage rewritten files under
+    ``_compact_tmp`` (invisible to readers), verify row count, journal
+    the swap, then delete-old/move-staged.  The swap itself is NOT
+    atomic (Iceberg's snapshot commit is; a directory rename dance
+    cannot be) — but it is crash-RECOVERABLE: the journal is written
+    only after staging completes, and a re-run finishes any interrupted
+    swap before doing new work.
+
+    Compact OUTPUT tables (violations, metrics, sketch stores).
+    Compacting an input corpus changes its content fingerprint, so a
+    resume ledger keyed on it will — correctly — recompute.  Prior
+    snapshot manifests referencing the replaced files fail fast on
+    ``load_snapshot``, exactly like Iceberg time travel after a vacuum;
+    a fresh snapshot is committed at the end."""
+    import math
+
+    n_before = n_after = n_leaves = 0
+    for leaf in _leaf_dirs(ref):
+        tmp = leaf / "_compact_tmp"
+        if (tmp / "_PLAN.json").exists():
+            _finish_swap(leaf)
+        files = sorted(p for p in leaf.glob("*.parquet") if not p.name.startswith(("_", ".")))
+        n_before += len(files)
+        if len(files) < min_files:
+            n_after += len(files)
+            continue
+        total = sum(p.stat().st_size for p in files)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        if n_out >= len(files):
+            n_after += len(files)
+            continue
+        df = spark.read.parquet(*[str(p) for p in files])
+        expected = df.count()
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.repartition(n_out).write.mode("overwrite").parquet(str(tmp))
+        staged = sorted(tmp.glob("*.parquet"))
+        got = spark.read.parquet(str(tmp)).count()
+        if got != expected:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compact: staged row count {got} != {expected} in {leaf}"
+            )
+        (tmp / "_PLAN.json").write_text(
+            json.dumps(
+                {"old": [str(p) for p in files], "staged": [str(p) for p in staged]}
+            )
+        )
+        _finish_swap(leaf)
+        n_after += len(staged)
+        n_leaves += 1
+    sid = commit_snapshot(spark, ref)
+    return {
+        "files_before": n_before,
+        "files_after": n_after,
+        "leaves_compacted": n_leaves,
+        "snapshot_id": sid,
+    }

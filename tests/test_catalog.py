@@ -129,3 +129,80 @@ def test_job_as_of_reproduces_historical_run(spark, tmp_path):
     jobmod.main(["--input", docs, "--output", out3] + argv, spark=spark)
     ids = [r["snapshot_id"] for r in catalog.snapshots(docs)]
     assert len(ids) == 2 and ids[0] == s1
+
+
+# ----------------------------------------------------------- compaction
+
+
+def test_compact_partitioned_table(spark, tmp_path):
+    """Per-leaf bin-packing: content identical, partition dirs (and the
+    partition column) preserved, file count collapsed."""
+    from pyspark.sql import functions as F
+
+    from gwv_spark import catalog
+
+    ref = str(tmp_path / "violations")
+    df = spark.range(4000).select(
+        (F.col("id") % 3).cast("string").alias("rule_id"),
+        F.col("id").alias("n"),
+    )
+    df.repartition(10).write.partitionBy("rule_id").parquet(ref)
+    before = sorted((r["rule_id"], r["n"]) for r in spark.read.parquet(ref).collect())
+    files0 = len([p for p in catalog._leaf_dirs(ref) for p in p.glob("*.parquet")])
+    assert files0 > 6
+
+    res = catalog.compact(spark, ref, target_file_bytes=1 << 30)
+    assert res["files_after"] < res["files_before"] == files0
+    assert res["leaves_compacted"] == 3
+    got = spark.read.parquet(ref)
+    assert "rule_id" in got.columns  # partition layout survived
+    assert sorted((r["rule_id"], r["n"]) for r in got.collect()) == before
+    # a second compact is a no-op (already one file per leaf)
+    res2 = catalog.compact(spark, ref, target_file_bytes=1 << 30)
+    assert res2["leaves_compacted"] == 0
+    assert res2["files_after"] == res["files_after"]
+
+
+def test_compact_unpartitioned_and_snapshots(spark, tmp_path):
+    from gwv_spark import catalog
+
+    ref = str(tmp_path / "t")
+    spark.range(1000).repartition(8).write.parquet(ref)
+    sid_old = catalog.commit_snapshot(spark, ref)
+    res = catalog.compact(spark, ref, target_file_bytes=1 << 30)
+    assert res["files_after"] == 1
+    assert spark.read.parquet(ref).count() == 1000
+    # pre-compaction snapshot now points at vacuumed files: fails fast
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="deleted data file"):
+        catalog.load_snapshot(spark, ref, sid_old)
+    # the post-compaction snapshot loads
+    assert catalog.load_snapshot(spark, ref, res["snapshot_id"]).count() == 1000
+
+
+def test_compact_resumes_interrupted_swap(spark, tmp_path):
+    """Crash between journal and swap completion: a re-run finishes the
+    swap from the journal before doing anything else."""
+    import json as _json
+    from pathlib import Path
+
+    from gwv_spark import catalog
+
+    ref = str(tmp_path / "t")
+    spark.range(500).repartition(4).write.parquet(ref)
+    leaf = catalog._leaf_dirs(ref)[0]
+    files = sorted(p for p in leaf.glob("*.parquet"))
+    # stage a rewrite by hand, journal it, and "crash" after deleting
+    # only ONE old file
+    tmp = leaf / "_compact_tmp"
+    spark.read.parquet(str(leaf)).repartition(1).write.parquet(str(tmp))
+    staged = sorted(tmp.glob("*.parquet"))
+    (tmp / "_PLAN.json").write_text(
+        _json.dumps({"old": [str(p) for p in files], "staged": [str(p) for p in staged]})
+    )
+    files[0].unlink()  # partial swap: table dir is now INCONSISTENT
+    res = catalog.compact(spark, ref, target_file_bytes=1 << 30)
+    assert spark.read.parquet(ref).count() == 500
+    assert not tmp.exists()
+    assert res["files_after"] == 1
