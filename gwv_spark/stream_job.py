@@ -63,7 +63,14 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                    help="parquet path supplying the stream schema "
                         "(default: the input itself — requires at least "
                         "one landed file)")
+    p.add_argument("--compact-after", type=int, default=None, metavar="BYTES",
+                   help="after a drain completes, bin-pack the output "
+                        "tables' per-epoch small files toward this file "
+                        "size (catalog.compact; drain mode only)")
     args = p.parse_args(argv)
+    if args.compact_after is not None and args.continuous is not None:
+        p.error("--compact-after is a drain-mode maintenance action; a "
+                "continuous stream would race its own epoch writes")
     if args.ri and args.rules is not None:
         p.error("--ri runs the fixed delquote/delvar pair; --rules applies "
                 "only to doc-local validation")
@@ -111,6 +118,20 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             n_buckets=args.n_buckets,
         )
     q.awaitTermination()
+    if args.compact_after is not None:
+        from gwv_spark import catalog
+
+        base = Path(args.sketch) if args.sketch else Path(args.output)
+        for sub in sorted(base.iterdir()) if base.is_dir() else []:
+            # sinks only: checkpoints/underscore state stay untouched
+            if sub.is_dir() and not sub.name.startswith(("_", ".")):
+                res = catalog.compact(
+                    spark, str(sub), target_file_bytes=args.compact_after
+                )
+                print(
+                    f"compact {sub.name}: {res['files_before']} -> "
+                    f"{res['files_after']} files"
+                )
     if owns_session:
         spark.stop()
 

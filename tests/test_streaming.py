@@ -629,3 +629,49 @@ def test_stream_events_hourly_matches_batch(spark, tmp_path):
     )
     batch = Q.REGISTRY["events_hourly_rollup"].spark_fn(spark, sf_dir)
     assert _rows(streamed) == _rows(batch)
+
+
+def test_stream_job_compact_after_drain(spark, corpus_df, tmp_path):
+    """--compact-after: two drops produce per-epoch small files in every
+    sink; the post-drain maintenance bin-packs them per partition leaf
+    without changing any content, and a THIRD drop's epoch still commits
+    normally afterwards (partition layout intact)."""
+    from gwv_spark import stream_job
+
+    landing = tmp_path / "landing"
+    out = tmp_path / "out"
+    landing.mkdir()
+    docs = corpus_df.select("doc_id", "related", "ts", "spans").limit(400)
+    half = 200
+    d1 = docs.limit(half)
+    d2 = docs.subtract(d1)
+    d1.coalesce(1).write.parquet(str(landing / "d1"))
+    argv = ["--input", str(landing / "*"), "--output", str(out),
+            "--rules", "numexp", "order"]
+    stream_job.main(argv, spark=spark)
+    d2.coalesce(1).write.parquet(str(landing / "d2"))
+    stream_job.main(argv, spark=spark)
+
+    vio_dir = out / "violations"
+    before = sorted(
+        (r["rule_id"], r["errcode"], r["doc_id"])
+        for r in spark.read.parquet(str(vio_dir)).collect()
+    )
+    n_files_before = len(list(vio_dir.rglob("*.parquet")))
+
+    stream_job.main(argv + ["--compact-after", str(1 << 30)], spark=spark)
+    after = sorted(
+        (r["rule_id"], r["errcode"], r["doc_id"])
+        for r in spark.read.parquet(str(vio_dir)).collect()
+    )
+    assert after == before
+    assert len(list(vio_dir.rglob("*.parquet"))) <= n_files_before
+
+    # continuous mode refuses the maintenance action
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        stream_job.main(
+            argv + ["--compact-after", "1024", "--continuous", "1 second"],
+            spark=spark,
+        )
