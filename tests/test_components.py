@@ -219,3 +219,52 @@ def test_dedup_job_cli(spark, tmp_path):
     assert survivors == {d for d, r in keep.items() if r["keep"]}
     # deduped corpus keeps the original columns only
     assert set(spark.read.parquet(f"{out}/deduped").columns) == {"doc_id", "text", "quality"}
+
+
+def test_streaming_pair_log_composes_with_closure(spark, tmp_path):
+    """On-arrival dedup at scale = the streaming simhash pair log (KB
+    rows, maintained incrementally) + a periodic closure over it.  The
+    groups computed from the accumulated pair log must equal the batch
+    near_dup_groups over the accumulated corpus — so the expensive
+    corpus scan happens once per document (at arrival), and group
+    formation runs over the duplicate population only."""
+    import pyarrow.parquet as pq
+
+    from gwv_spark.streaming import simhash_pairs_view, stream_simhash_drain
+
+    base = "a long shared passage that makes these documents near dups " * 6
+    rows = [
+        (1, base),
+        (2, base.replace("long", "lengthy")),
+        (3, "something else entirely about query engines " * 8),
+        (4, base.replace("shared", "common")),   # near-dup of 1/2, lands later
+        (5, "still another unrelated piece of text " * 9),
+    ]
+    land = tmp_path / "land"
+    out = tmp_path / "out"
+    land.mkdir()
+    # the streaming tier's contract is TEXT_DOCS_SCHEMA (doc_id BIGINT)
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    df.limit(3).coalesce(1).write.parquet(str(land / "drop0"))
+    stream_simhash_drain(spark, str(land / "*"), str(out), max_hamming=6)
+    df.subtract(df.limit(3)).coalesce(1).write.parquet(str(land / "drop1"))
+    pair_log = stream_simhash_drain(spark, str(land / "*"), str(out), max_hamming=6)
+
+    from gwv_spark import components as C
+    from gwv_spark.textops import simhash_near_pairs
+
+    stream_groups = sorted(
+        tuple(r["doc_ids"])
+        for r in C.connected_components(simhash_pairs_view(pair_log))
+        .groupBy("component_id")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .collect()
+    )
+    batch_groups = sorted(
+        tuple(r["doc_ids"])
+        for r in C.near_dup_groups(df, max_hamming=6).collect()
+    )
+    assert stream_groups == batch_groups
+    # cross-drop discovery: doc 4 (drop1) paired with doc 1 (drop0)
+    flat = {d for g in stream_groups for d in g}
+    assert {1, 4} <= flat
