@@ -27,10 +27,12 @@ Spark-specific care:
 - convergence is detected by (edge count, order-insensitive xxhash64
   fold) over the canonicalized edge set — one cheap agg per round, no
   except/join against the previous round;
-- node ids stay STRINGS (doc_ids) and the component id is the
-  lexicographic minimum member: deterministic, no RNG, no driver-side
-  id assignment (zipWithUniqueId-style indices would break resume
-  determinism across partitionings).
+- node ids keep their column type (string doc_ids or the streaming
+  tier's bigint ids — every comparison is least/greatest/min) and the
+  component id is the minimum member under that type's ordering:
+  deterministic, no RNG, no driver-side id assignment
+  (zipWithUniqueId-style indices would break resume determinism
+  across partitionings).
 """
 
 from __future__ import annotations
