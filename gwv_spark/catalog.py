@@ -242,13 +242,26 @@ def compact(
     ``load_snapshot``, exactly like Iceberg time travel after a vacuum;
     a fresh snapshot is committed at the end."""
     import math
+    import re
 
+    # bucketed tables (bucketed.py) encode the bucket id in the file
+    # name (`..._00003.c000...`); rewriting them here would silently
+    # break the bucket spec — and with it the zero-Exchange join plans
+    # that are the whole point of that layout.  Refuse loudly.
+    bucket_marker = re.compile(r"_\d{5}\.c\d{3}")
     n_before = n_after = n_leaves = 0
     for leaf in _leaf_dirs(ref):
         tmp = leaf / "_compact_tmp"
         if (tmp / "_PLAN.json").exists():
             _finish_swap(leaf)
         files = sorted(p for p in leaf.glob("*.parquet") if not p.name.startswith(("_", ".")))
+        if any(bucket_marker.search(p.name) for p in files):
+            raise ValueError(
+                f"compact: {leaf} holds bucketed data files (bucket-id "
+                f"suffix in name); compacting would break the bucket "
+                f"spec — rebuild the layout via bucketed.materialize "
+                f"instead"
+            )
         n_before += len(files)
         if len(files) < min_files:
             n_after += len(files)

@@ -206,3 +206,20 @@ def test_compact_resumes_interrupted_swap(spark, tmp_path):
     assert spark.read.parquet(ref).count() == 500
     assert not tmp.exists()
     assert res["files_after"] == 1
+
+
+def test_compact_refuses_bucketed_tables(spark, tmp_path):
+    """A bucketed layout's files carry the bucket id in the NAME; a
+    rewrite would break the bucket spec (and the zero-Exchange plans
+    built on it) without any visible error — so compact refuses."""
+    from gwv_spark import catalog
+
+    ref = tmp_path / "bkt"
+    ref.mkdir()
+    # the exact naming shape bucketBy produces
+    (ref / "part-00000-abc_00003.c000.snappy.parquet").write_bytes(b"x")
+    (ref / "part-00001-abc_00001.c000.snappy.parquet").write_bytes(b"x")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucketed"):
+        catalog.compact(spark, str(ref))
