@@ -43,7 +43,13 @@ from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["partition_sketches", "merged_summary", "frequent_items", "mg_prune"]
+__all__ = [
+    "partition_sketches",
+    "merged_summary",
+    "frequent_items",
+    "frequent_items_by_group",
+    "mg_prune",
+]
 
 SKETCH_SCHEMA = "item string, w long, n long"
 
@@ -119,6 +125,108 @@ def merged_summary(sketches: DataFrame, k: int = 64) -> DataFrame:
         )
     finally:
         sk.unpersist()
+
+
+def frequent_items_by_group(
+    df: DataFrame,
+    key: str,
+    col: str,
+    k: int = 32,
+    max_keys_in_memory: int = 10_000,
+) -> DataFrame:
+    """Per-group heavy hitters: (key, item, count_lo, count_hi, rank,
+    n_group, error_bound) — the dominant values of `col` WITHIN each
+    `key` (dominant sources per language, licenses per domain, ...).
+
+    Same two-level shape as sketch.tdigest_quantiles_by_group: a naive
+    ``groupBy(key).applyInPandas`` over raw rows materializes each whole
+    group in one task — a scale-killer for a hot group.  Here stage 1
+    keeps one bounded MG summary per key per task (flushed early past
+    ``max_keys_in_memory`` distinct keys — extra partial rows, same
+    bounds), and stage 2 merges ≤ P partial summaries per key, so a
+    group's merge cost is per-partition summaries, never its row count.
+    The per-group sandwich count_lo ≤ true ≤ count_lo + error_bound
+    holds with error_bound = (n_group − mass)/(k+1)."""
+    import pandas as pd
+
+    src = df.select(
+        F.col(key).cast("string").alias("k"),
+        F.col(col).cast("string").alias("item"),
+    ).where(F.col(col).isNotNull())
+    work_cap = 8 * k
+    partial_schema = "k string, items array<string>, ws array<long>, n long"
+
+    def partials(batches: Iterable) -> Iterator:
+        accs: dict[str, "pd.Series"] = {}
+        ns: dict[str, int] = {}
+
+        def drain():
+            rows = []
+            for gk, acc in accs.items():
+                acc = mg_prune(acc, k)
+                order = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+                rows.append(
+                    {
+                        "k": gk,
+                        "items": [str(i) for i, _ in order],
+                        "ws": [int(w) for _, w in order],
+                        "n": ns[gk],
+                    }
+                )
+            accs.clear()
+            ns.clear()
+            if rows:
+                yield pd.DataFrame(rows)
+
+        for pdf in batches:
+            keys = pdf["k"].astype("string")
+            for gk, idx in keys.groupby(keys, sort=False).indices.items():
+                vc = pdf["item"].iloc[idx].value_counts()
+                if not len(vc):
+                    continue
+                ns[gk] = ns.get(gk, 0) + int(vc.sum())
+                acc = accs.get(gk)
+                acc = vc if acc is None else acc.add(vc, fill_value=0).astype("int64")
+                if len(acc) > work_cap:
+                    acc = mg_prune(acc, 4 * k)
+                accs[gk] = acc
+            if len(accs) > max_keys_in_memory:
+                yield from drain()
+        yield from drain()
+
+    parts = src.mapInPandas(partials, partial_schema)
+    out_schema = (
+        f"{key} string, item string, count_lo bigint, count_hi double, "
+        "rank int, n_group bigint, error_bound double"
+    )
+
+    def merge_group(pdf) -> "pd.DataFrame":
+        acc = pd.Series(dtype="int64")
+        for items, ws in zip(pdf["items"], pdf["ws"]):
+            if items is not None and len(items) > 0:
+                s = pd.Series(list(map(int, ws)), index=list(items))
+                acc = acc.add(s, fill_value=0).astype("int64")
+        acc = mg_prune(acc, k)
+        n_group = int(pdf["n"].sum())
+        mass = int(acc.sum()) if len(acc) else 0
+        eb = (n_group - mass) / (k + 1)
+        order = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        return pd.DataFrame(
+            [
+                {
+                    key: pdf["k"].iloc[0],
+                    "item": str(i),
+                    "count_lo": int(w),
+                    "count_hi": float(w) + eb,
+                    "rank": r + 1,
+                    "n_group": n_group,
+                    "error_bound": eb,
+                }
+                for r, (i, w) in enumerate(order)
+            ]
+        )
+
+    return parts.groupBy("k").applyInPandas(merge_group, out_schema)
 
 
 def frequent_items(df: DataFrame, col: str, k: int = 64, top: int | None = None) -> DataFrame:

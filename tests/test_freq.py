@@ -124,3 +124,64 @@ def test_stage1_emits_bounded_rows(spark):
     for r in per_task:
         assert r["items"] <= k
         assert r["sentinels"] == 1
+
+
+@pytest.mark.parametrize("flush_cap", [10_000, 1])
+def test_by_group_bounds_and_planted_hitters(spark, flush_cap):
+    """Per-group sandwich + per-group planted dominants, with the
+    early-flush path (flush_cap=1) producing extra partial rows but the
+    same guarantees."""
+    rng = random.Random(99)
+    rows = []
+    for g, hot, share in (("en", "wiki", 0.3), ("de", "news", 0.25), ("fr", "blog", 0.4)):
+        for _ in range(8000):
+            v = hot if rng.random() < share else f"cold{rng.randrange(2000)}"
+            rows.append((g, v))
+    df = spark.createDataFrame(rows, "lang string, source string").repartition(7)
+    truth = {}
+    for g, v in rows:
+        truth[(g, v)] = truth.get((g, v), 0) + 1
+    out = freq.frequent_items_by_group(
+        df, "lang", "source", k=40, max_keys_in_memory=flush_cap
+    ).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["lang"], []).append(r)
+    assert set(by_group) == {"en", "de", "fr"}
+    for g, hot in (("en", "wiki"), ("de", "news"), ("fr", "blog")):
+        rs = sorted(by_group[g], key=lambda r: r["rank"])
+        assert rs[0]["item"] == hot
+        for r in rs:
+            true = truth[(g, r["item"])]
+            assert r["count_lo"] <= true <= r["count_hi"], (g, r["item"])
+            assert r["n_group"] == 8000
+            assert 0 <= r["error_bound"] <= 8000 / 41
+
+
+def test_by_group_exact_low_cardinality(spark):
+    df = spark.range(6000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 3).cast("string").alias("v"),
+    ).repartition(5)
+    out = freq.frequent_items_by_group(df, "g", "v", k=16).collect()
+    assert all(r["error_bound"] == 0.0 for r in out)
+    got = {(r["g"], r["item"]): r["count_lo"] for r in out}
+    assert got == {(str(g), str(v)): 1000 for g in range(2) for v in range(3)}
+
+
+def test_by_group_stage2_moves_summaries_not_rows(spark):
+    """The only Exchange input is the stage-1 MapInPandas output —
+    group skew cannot send raw rows to a merger task."""
+    df = spark.range(20_000).select(
+        F.lit("hot").alias("g"), (F.col("id") % 50).cast("string").alias("v")
+    )
+    plan = (
+        freq.frequent_items_by_group(df, "g", "v", k=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re as _re
+
+    ex = plan.find("Exchange")
+    assert ex != -1
+    below_exchange = plan[ex:]
+    assert "MapInPandas" in below_exchange, plan
