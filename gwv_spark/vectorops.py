@@ -323,6 +323,53 @@ def write_ivf_index(
     ivf_assign(vectors, centroids, vec_col).write.partitionBy(
         "ivf_list"
     ).mode("overwrite").parquet(path)
+    _write_ivf_centroids(vectors.sparkSession, centroids, path)
+
+
+def _write_ivf_centroids(spark, centroids, path: str) -> None:
+    """Persist the quantizer beside its index (under ``_centroids``,
+    underscore-invisible to the index scan).  The centroids ARE the
+    index's identity: probing or appending with a retrained quantizer
+    would silently mis-route vectors, so a fresh session must load
+    these rather than retrain."""
+    import numpy as np
+
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(np.asarray(centroids))]
+    spark.createDataFrame(rows, "list_id int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def load_ivf_centroids(spark, path: str):
+    """The stored index's quantizer as the (n_lists, dim) numpy array
+    every probe/append API takes."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path}/_centroids").orderBy("list_id").collect()
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold newly-arrived vectors into a stored IVF index WITHOUT
+    rebuilding: assign against the index's own persisted quantizer and
+    append into the list partitions.  The per-append cost is the new
+    vectors' assignment + write — never a rebuild of the table — and
+    probe-side partition pruning is unaffected (appended files land
+    inside their list directories).  The IVF trade-off is the standard
+    one: list sizes drift as the corpus distribution does; retrain +
+    write_ivf_index when recall degrades."""
+    spark = new_vectors.sparkSession
+    if centroids is None:
+        centroids = load_ivf_centroids(spark, path)
+    ivf_assign(new_vectors, centroids, vec_col).write.partitionBy(
+        "ivf_list"
+    ).mode("append").parquet(path)
 
 
 def indexed_ivf_topk(

@@ -139,3 +139,53 @@ def test_indexed_ivf_prunes_partitions(spark, emb, centroids, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "ivf_list" in m.group(1), plan
+
+
+def test_centroids_persist_with_index(spark, emb, centroids, tmp_path):
+    """The quantizer is the index's identity: a fresh session must load
+    it from the index rather than retrain.  Probing with the loaded
+    centroids must reproduce the original results exactly."""
+    idx = str(tmp_path / "idx")
+    vectorops.write_ivf_index(emb, centroids, idx)
+    loaded = vectorops.load_ivf_centroids(spark, idx)
+    assert np.array_equal(loaded, centroids)
+    probes = emb.select(F.col("vec_id").alias("probe_id"), "embedding").limit(5)
+    a = sorted(
+        map(tuple, vectorops.indexed_ivf_topk(spark, idx, probes, centroids, k=5, nprobe=4).collect())
+    )
+    b = sorted(
+        map(tuple, vectorops.indexed_ivf_topk(spark, idx, probes, loaded, k=5, nprobe=4).collect())
+    )
+    assert a == b
+
+
+def test_append_equals_rebuild(spark, emb, centroids, tmp_path):
+    """Appending new vectors routes them through the index's OWN stored
+    quantizer, so an 80/20 write+append index answers identically to a
+    one-shot index over the full table."""
+    idx_inc = str(tmp_path / "inc")
+    idx_full = str(tmp_path / "full")
+    n = emb.count()
+    base = emb.orderBy("vec_id").limit(int(n * 0.8))
+    extra = emb.join(base.select("vec_id"), "vec_id", "left_anti")
+    assert extra.count() == n - int(n * 0.8)
+
+    vectorops.write_ivf_index(base, centroids, idx_inc)
+    vectorops.append_to_ivf_index(extra, idx_inc)  # quantizer loaded from the index
+    vectorops.write_ivf_index(emb, centroids, idx_full)
+
+    probes = emb.select(F.col("vec_id").alias("probe_id"), "embedding").limit(8)
+    a = sorted(
+        map(tuple, vectorops.indexed_ivf_topk(spark, idx_inc, probes, centroids, k=5, nprobe=16).collect())
+    )
+    b = sorted(
+        map(tuple, vectorops.indexed_ivf_topk(spark, idx_full, probes, centroids, k=5, nprobe=16).collect())
+    )
+    assert a == b
+    # appended files landed inside list partitions (pruning intact)
+    from pathlib import Path as _P
+
+    stray = [
+        p for p in _P(idx_inc).glob("*.parquet")
+    ]
+    assert not stray, "appended files must live under ivf_list=… dirs"
