@@ -131,3 +131,52 @@ def triage_summary(violations: DataFrame, k: int = 5) -> DataFrame:
         "n_total",
         F.col("ranked.doc_id").alias("example_doc_ids"),
     )
+
+
+# ---------------------------------------------------- generic sampler
+
+
+def sample_per_key(
+    df: DataFrame,
+    key_cols: list[str] | tuple[str, ...],
+    k: int = 10,
+    with_counts: bool = True,
+) -> DataFrame:
+    """K deterministic representative rows per key over ANY DataFrame —
+    the violations triage shape generalized into a corpus operator
+    (K example documents per language, per source, per dedup
+    component, ...).
+
+    priority = ``xxhash64`` over EVERY column, so the sample is
+    uniform-ish, RNG-free, and invariant to input partitioning and row
+    order; rows that tie on priority are full-content duplicates, so
+    any winner is the same row.  Same two-level plan as
+    ``sample_violations``: zero-shuffle per-task top-K, then one window
+    over ≤ P·keys·K survivors — a hot key costs what a cold key costs.
+
+    Output: the input columns + ``sample_rank`` (1..k) +
+    ``n_total`` per key when ``with_counts``."""
+    keys = list(key_cols)
+    src = df.withColumn("priority", F.xxhash64(*[F.col(c) for c in df.columns]))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for batch in batches:
+            if carry is not None:
+                batch = pd.concat([carry, batch], ignore_index=True)
+            batch = batch.sort_values(["priority"], kind="mergesort")
+            carry = batch.groupby(keys, sort=False).head(k)
+        if carry is not None and len(carry):
+            yield carry
+
+    survivors = src.mapInPandas(gen, schema=src.schema)
+    w = Window.partitionBy(*keys).orderBy("priority")
+    sampled = (
+        survivors.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .drop("priority")
+    )
+    if not with_counts:
+        return sampled
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_total"))
+    return sampled.join(F.broadcast(counts), keys, "inner")

@@ -126,3 +126,58 @@ def test_summary_shape(spark, violations):
     # one row per (rule, errcode), totals match the violations table
     v = violations.groupBy("rule_id", "errcode").count().toPandas()
     assert len(s) == len(v)
+
+
+# ---------------------------------------------------- generic sampler
+
+
+def test_sample_per_key_deterministic_and_bounded(spark):
+    """The generic corpus sampler: partitioning-invariant content,
+    exactly min(k, group size) rows per key, counts exact."""
+    from gwv_spark import triage
+
+    df = spark.range(5000).select(
+        (F.col("id") % 7).cast("string").alias("lang"),
+        F.concat(F.lit("doc"), F.col("id").cast("string")).alias("doc_id"),
+    )
+    a = sorted(
+        (r["lang"], r["sample_rank"], r["doc_id"], r["n_total"])
+        for r in triage.sample_per_key(df.repartition(1), ["lang"], k=5).collect()
+    )
+    b = sorted(
+        (r["lang"], r["sample_rank"], r["doc_id"], r["n_total"])
+        for r in triage.sample_per_key(df.repartition(23), ["lang"], k=5).collect()
+    )
+    assert a == b
+    per_key = {}
+    for lang, rank, _, n_total in a:
+        per_key.setdefault(lang, []).append(rank)
+        assert n_total in (714, 715)
+    assert set(per_key) == {str(i) for i in range(7)}
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_key.values())
+
+    # a key smaller than k degrades to "all of it, fully ranked"
+    small = spark.createDataFrame(
+        [("x", "a"), ("x", "b"), ("y", "c")], "g string, v string"
+    )
+    got = sorted(
+        (r["g"], r["sample_rank"])
+        for r in triage.sample_per_key(small, ["g"], k=10).collect()
+    )
+    assert got == [("x", 1), ("x", 2), ("y", 1)]
+
+
+def test_sample_per_key_no_exchange_below_stage1(spark):
+    from gwv_spark import triage
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("string").alias("v"),
+    )
+    plan = (
+        triage.sample_per_key(df, ["g"], k=3, with_counts=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pos = plan.rfind("MapInPandas")
+    assert pos != -1
+    assert "Exchange" not in plan[pos:], plan
