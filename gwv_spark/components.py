@@ -176,7 +176,13 @@ def dedup_keep_list(
     similarity threshold, not a partitioning problem.
     """
     with_comp = assign_components(docs, pairs, id_col, a_col, b_col)
-    score = prefer if prefer is not None else F.lit(0)
+    # NULL-safe: a doc with no score must never beat a scored one (a
+    # bare -NULL would sort FIRST inside the min-struct and win)
+    score = (
+        F.coalesce(prefer.cast("double"), F.lit(float("-inf")))
+        if prefer is not None
+        else F.lit(0.0)
+    )
     ranked = with_comp.withColumn("_pref", score)
     # min/max struct trick: one map-side-combinable agg, no window over
     # the full corpus.  Highest _pref wins; smallest doc_id breaks ties

@@ -102,29 +102,33 @@ def merged_summary(sketches: DataFrame, k: int = 64) -> DataFrame:
     `count_hi = count_lo + error_bound` where
     `error_bound = (n_total − Σ all weights)/(k+1)` — the merged-summary
     mass deficit, valid for items NOT in the summary too (any absent
-    item's true count is ≤ error_bound)."""
-    sk = sketches.persist()
-    try:
-        tot = sk.agg(
-            F.sum("n").alias("n_total"), F.sum("w").alias("mass")
-        ).collect()[0]
-        n_total = int(tot["n_total"] or 0)
-        mass = int(tot["mass"] or 0)
-        error_bound = (n_total - mass) / (k + 1)
-        return (
-            sk.where(F.col("item").isNotNull())
-            .groupBy("item")
-            .agg(F.sum("w").alias("count_lo"))
-            .select(
-                "item",
-                "count_lo",
-                (F.col("count_lo") + F.lit(error_bound)).alias("count_hi"),
-                F.lit(n_total).alias("n_total"),
-                F.lit(error_bound).alias("error_bound"),
-            )
+    item's true count is ≤ error_bound).
+
+    The stage-1 summaries are materialized ONCE via an eager
+    localCheckpoint: the totals collect and the returned (lazy) groupBy
+    both read the stored blocks, never the source table again — a
+    persist() released inside this function would already be gone by
+    the time the caller runs its action, silently re-running the full
+    scan."""
+    sk = sketches.localCheckpoint(eager=True)
+    tot = sk.agg(
+        F.sum("n").alias("n_total"), F.sum("w").alias("mass")
+    ).collect()[0]
+    n_total = int(tot["n_total"] or 0)
+    mass = int(tot["mass"] or 0)
+    error_bound = (n_total - mass) / (k + 1)
+    return (
+        sk.where(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("w").alias("count_lo"))
+        .select(
+            "item",
+            "count_lo",
+            (F.col("count_lo") + F.lit(error_bound)).alias("count_hi"),
+            F.lit(n_total).alias("n_total"),
+            F.lit(error_bound).alias("error_bound"),
         )
-    finally:
-        sk.unpersist()
+    )
 
 
 def frequent_items_by_group(
@@ -180,7 +184,10 @@ def frequent_items_by_group(
 
         for pdf in batches:
             keys = pdf["k"].astype("string")
-            for gk, idx in keys.groupby(keys, sort=False).indices.items():
+            # dropna=False: a NULL group key is a real population (the
+            # "no language detected" bucket) and must be summarized,
+            # not silently dropped
+            for gk, idx in keys.groupby(keys, sort=False, dropna=False).indices.items():
                 vc = pdf["item"].iloc[idx].value_counts()
                 if not len(vc):
                     continue

@@ -239,9 +239,26 @@ def fold_file_sketches(
 
         if len(pdf) == 1:
             return pdf
-        pdf = pdf.sort_values(
-            ["n", "n_null", "vmin", "vmax"], na_position="last", kind="mergesort"
-        )
+        # the scalar columns can tie across splits (evenly-split data);
+        # t-digest merge is ingestion-order-dependent, so the sort key
+        # must extend to full sketch content or two racing writers could
+        # fold byte-different rows and defeat the read-time dedup
+        def _row_key(col_a, col_b):
+            return [
+                repr((list(a) if a is not None else None,
+                      list(b) if b is not None else None))
+                for a, b in zip(col_a, col_b)
+            ]
+
+        pdf = pdf.assign(
+            _hkey=pdf["hll"].map(lambda b: bytes(b).hex()),
+            _tkey=_row_key(pdf["td_means"], pdf["td_weights"]),
+            _mkey=_row_key(pdf["mg_items"], pdf["mg_weights"]),
+        ).sort_values(
+            ["n", "n_null", "vmin", "vmax", "_hkey", "_tkey", "_mkey"],
+            na_position="last",
+            kind="mergesort",
+        ).drop(columns=["_hkey", "_tkey", "_mkey"])
         reg = None
         d = Digest(delta)
         has_digest = False

@@ -147,17 +147,34 @@ def sample_per_key(
     (K example documents per language, per source, per dedup
     component, ...).
 
-    priority = ``xxhash64`` over EVERY column, so the sample is
-    uniform-ish, RNG-free, and invariant to input partitioning and row
-    order; rows that tie on priority are full-content duplicates, so
-    any winner is the same row.  Same two-level plan as
-    ``sample_violations``: zero-shuffle per-task top-K, then one window
-    over ≤ P·keys·K survivors — a hot key costs what a cold key costs.
+    priority = ``xxhash64`` over every column stringified with a NULL
+    sentinel (xxhash64 SKIPS raw NULL inputs, which would make distinct
+    rows tie and the winner partition-dependent — the same guard
+    ``_with_priority`` applies), so the sample is uniform-ish, RNG-free,
+    and invariant to input partitioning and row order; rows that tie on
+    priority have identical stringified content, so any winner carries
+    the same values.  Same two-level plan as ``sample_violations``:
+    zero-shuffle per-task top-K, then one window over ≤ P·keys·K
+    survivors — a hot key costs what a cold key costs.
+
+    NULL keys are first-class: a null language/source group is sampled
+    like any other (null-safe grouping and count join).  Unlike
+    ``sample_violations`` (whose key space is bounded at #rules×#codes),
+    the key cardinality here is arbitrary, so the count join is left to
+    AQE rather than forced broadcast.
 
     Output: the input columns + ``sample_rank`` (1..k) +
     ``n_total`` per key when ``with_counts``."""
     keys = list(key_cols)
-    src = df.withColumn("priority", F.xxhash64(*[F.col(c) for c in df.columns]))
+    src = df.withColumn(
+        "priority",
+        F.xxhash64(
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in df.columns
+            ]
+        ),
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -165,7 +182,7 @@ def sample_per_key(
             if carry is not None:
                 batch = pd.concat([carry, batch], ignore_index=True)
             batch = batch.sort_values(["priority"], kind="mergesort")
-            carry = batch.groupby(keys, sort=False).head(k)
+            carry = batch.groupby(keys, sort=False, dropna=False).head(k)
         if carry is not None and len(carry):
             yield carry
 
@@ -179,4 +196,6 @@ def sample_per_key(
     if not with_counts:
         return sampled
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_total"))
-    return sampled.join(F.broadcast(counts), keys, "inner")
+    cond = [sampled[c].eqNullSafe(counts[c]) for c in keys]
+    joined = sampled.join(counts, cond, "inner")
+    return joined.select(*[sampled[c] for c in sampled.columns], counts["n_total"])

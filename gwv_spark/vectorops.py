@@ -342,10 +342,24 @@ def _write_ivf_centroids(spark, centroids, path: str) -> None:
 
 def load_ivf_centroids(spark, path: str):
     """The stored index's quantizer as the (n_lists, dim) numpy array
-    every probe/append API takes."""
+    every probe/append API takes.
+
+    A missing quantizer means an interrupted ``write_ivf_index`` (the
+    static overwrite truncates the whole path — data AND old quantizer —
+    before either is rewritten, so a crash mid-rebuild leaves neither
+    trustworthy).  The only sound recovery is re-running the rebuild;
+    fail with that instruction rather than a bare path error."""
     import numpy as np
 
-    rows = spark.read.parquet(f"{path}/_centroids").orderBy("list_id").collect()
+    try:
+        rows = spark.read.parquet(f"{path}/_centroids").orderBy("list_id").collect()
+    except Exception as e:
+        raise ValueError(
+            f"IVF index at {path!r} has no quantizer ({e.__class__.__name__}) "
+            f"- likely an interrupted write_ivf_index; the data files are "
+            f"equally untrustworthy after a partial static overwrite, so "
+            f"re-run write_ivf_index to rebuild"
+        ) from e
     return np.array([r["centroid"] for r in rows], dtype=np.float64)
 
 
@@ -353,7 +367,6 @@ def append_to_ivf_index(
     new_vectors: DataFrame,
     path: str,
     centroids=None,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
     """Fold newly-arrived vectors into a stored IVF index WITHOUT

@@ -268,3 +268,23 @@ def test_streaming_pair_log_composes_with_closure(spark, tmp_path):
     # cross-drop discovery: doc 4 (drop1) paired with doc 1 (drop0)
     flat = {d for g in stream_groups for d in g}
     assert {1, 4} <= flat
+
+
+def test_keep_list_null_prefer_never_wins(spark):
+    """Review regression: -NULL sorts first inside a min-struct, so an
+    unscored doc used to beat every scored one."""
+    docs = spark.createDataFrame(
+        [("d1", None), ("d2", 5.0), ("d3", 1.0)],
+        "doc_id string, quality double",
+    )
+    pairs = spark.createDataFrame([("d1", "d2"), ("d2", "d3")], "doc_a string, doc_b string")
+    rows = C.dedup_keep_list(docs, pairs, prefer=F.col("quality")).collect()
+    kept = [r["doc_id"] for r in rows if r["keep"]]
+    assert kept == ["d2"]
+    # all-NULL group: deterministic min-id fallback
+    docs2 = spark.createDataFrame(
+        [("x2", None), ("x1", None)], "doc_id string, quality double"
+    )
+    pairs2 = spark.createDataFrame([("x1", "x2")], "doc_a string, doc_b string")
+    rows2 = C.dedup_keep_list(docs2, pairs2, prefer=F.col("quality")).collect()
+    assert [r["doc_id"] for r in rows2 if r["keep"]] == ["x1"]

@@ -185,3 +185,19 @@ def test_by_group_stage2_moves_summaries_not_rows(spark):
     assert ex != -1
     below_exchange = plan[ex:]
     assert "MapInPandas" in below_exchange, plan
+
+
+def test_by_group_null_key_is_a_real_group(spark):
+    """Review regression: the NULL group key (e.g. language undetected)
+    must be summarized, not dropped by pandas groupby's dropna."""
+    df = spark.createDataFrame(
+        [(None, "x"), (None, "x"), (None, "y"), ("g", "z")],
+        "k string, v string",
+    )
+    out = freq.frequent_items_by_group(df, "k", "v", k=8).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], {})[r["item"]] = r["count_lo"]
+    assert by_key.get(None) == {"x": 2, "y": 1}
+    assert by_key.get("g") == {"z": 1}
+    assert all(r["n_group"] == (3 if r["k"] is None else 1) for r in out)

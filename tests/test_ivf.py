@@ -189,3 +189,8 @@ def test_append_equals_rebuild(spark, emb, centroids, tmp_path):
         p for p in _P(idx_inc).glob("*.parquet")
     ]
     assert not stray, "appended files must live under ivf_list=… dirs"
+
+
+def test_missing_quantizer_fails_with_rebuild_guidance(spark, tmp_path):
+    with pytest.raises(ValueError, match="re-run write_ivf_index"):
+        vectorops.load_ivf_centroids(spark, str(tmp_path / "nope"))

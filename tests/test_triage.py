@@ -181,3 +181,35 @@ def test_sample_per_key_no_exchange_below_stage1(spark):
     pos = plan.rfind("MapInPandas")
     assert pos != -1
     assert "Exchange" not in plan[pos:], plan
+
+
+def test_sample_per_key_null_keys_and_null_cells(spark):
+    """Review regressions: (a) a NULL key is a real group and must be
+    sampled + counted, not dropped by pandas groupby / an equi-join;
+    (b) NULL cells must not make distinct rows hash-tie (xxhash64 skips
+    raw NULLs), which would make the winner partition-dependent."""
+    from gwv_spark import triage
+
+    df = spark.createDataFrame(
+        [("en", "a", None), ("en", None, "b"), (None, "c", "x"),
+         (None, "d", None), (None, None, "e")],
+        "lang string, u string, v string",
+    )
+    def rows_of(parts):
+        return sorted(
+            (
+                (r["lang"] or "", r["sample_rank"], r["u"] or "", r["v"] or "",
+                 r["n_total"], r["lang"] is None)
+            )
+            for r in triage.sample_per_key(
+                df.repartition(parts), ["lang"], k=10
+            ).collect()
+        )
+
+    a = rows_of(1)
+    b = rows_of(5)
+    assert a == b
+    null_rows = [r for r in a if r[5]]
+    assert len(null_rows) == 3 and all(r[4] == 3 for r in null_rows)
+    en_rows = [r for r in a if r[0] == "en"]
+    assert len(en_rows) == 2 and all(r[4] == 2 for r in en_rows)
