@@ -53,6 +53,14 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                         "add/retract change log) instead of doc-local validation")
     p.add_argument("--ri-shards", type=int, default=1,
                    help="state shards per probe key (hot-key spreading)")
+    p.add_argument("--near-dup", action="store_true",
+                   help="run the incremental near-dup monitor "
+                        "(per-arrival SimHash vs the corpus-so-far; "
+                        "pair change log under <output>/pairs) and "
+                        "refresh <output>/groups with the transitive "
+                        "closure of the accumulated log after the drain")
+    p.add_argument("--max-hamming", type=int, default=3,
+                   help="SimHash Hamming radius for --near-dup")
     p.add_argument("--sketch", default=None, metavar="STORE_DIR",
                    help="maintain a column-stats sketch store on arrival "
                         "(per-epoch HLL + t-digest rows) instead of "
@@ -76,10 +84,42 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                 "only to doc-local validation")
     if args.sketch and (args.ri or args.rules is not None):
         p.error("--sketch is a dedicated mode; drop --ri/--rules")
+    if args.near_dup and (args.ri or args.sketch or args.rules is not None):
+        p.error("--near-dup is a dedicated mode; drop --ri/--sketch/--rules")
+    if args.near_dup and args.continuous is not None:
+        p.error("--near-dup refreshes the group closure after a drain; "
+                "run it in drain mode (cron shape)")
 
     owns_session = spark is None
     if owns_session:
         spark = SparkSession.builder.appName("gwv_spark-stream").getOrCreate()
+
+    if args.near_dup:
+        from pyspark.sql import functions as F
+
+        from gwv_spark import components
+        from gwv_spark.streaming import simhash_pairs_view, stream_simhash_drain
+
+        pair_log = stream_simhash_drain(
+            spark, args.input, args.output,
+            max_hamming=args.max_hamming,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        comp = components.connected_components(simhash_pairs_view(pair_log))
+        groups = (
+            comp.groupBy("component_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            )
+            .where(F.col("n_docs") > 1)
+        )
+        groups.write.mode("overwrite").parquet(f"{args.output}/groups")
+        n_groups = spark.read.parquet(f"{args.output}/groups").count()
+        print(f"near-dup: {n_groups} duplicate group(s) in the accumulated log")
+        if owns_session:
+            spark.stop()
+        return
 
     if args.sketch:
         from gwv_spark.streaming import stream_sketch_store

@@ -288,3 +288,44 @@ def test_keep_list_null_prefer_never_wins(spark):
     pairs2 = spark.createDataFrame([("x1", "x2")], "doc_a string, doc_b string")
     rows2 = C.dedup_keep_list(docs2, pairs2, prefer=F.col("quality")).collect()
     assert [r["doc_id"] for r in rows2 if r["keep"]] == ["x1"]
+
+
+def test_stream_job_near_dup_mode(spark, tmp_path):
+    """spark-submit surface for on-arrival dedup: two drops drained via
+    --near-dup, groups/ holds the closure of the accumulated pair log
+    (identical to the batch groups over the accumulated corpus)."""
+    from gwv_spark import stream_job
+
+    base = "a long shared passage that makes these documents near dups " * 6
+    rows = [
+        (1, base),
+        (2, base.replace("shared", "common")),
+        (3, "entirely different content about stream jobs " * 8),
+        (4, base.replace("passage", "excerpt")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    land = tmp_path / "land"
+    out = tmp_path / "out"
+    land.mkdir()
+    df.limit(2).coalesce(1).write.parquet(str(land / "d0"))
+    argv = ["--input", str(land / "*"), "--output", str(out),
+            "--near-dup", "--max-hamming", "6"]
+    stream_job.main(argv, spark=spark)
+    df.subtract(df.limit(2)).coalesce(1).write.parquet(str(land / "d1"))
+    stream_job.main(argv, spark=spark)
+
+    got = sorted(
+        tuple(r["doc_ids"]) for r in spark.read.parquet(str(out / "groups")).collect()
+    )
+    want = sorted(
+        tuple(r["doc_ids"])
+        for r in C.near_dup_groups(df, max_hamming=6).collect()
+    )
+    assert got == want and got  # non-empty and identical to batch
+    # mode exclusions fail fast
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        stream_job.main(argv + ["--ri"], spark=spark)
+    with _pytest.raises(SystemExit):
+        stream_job.main(argv + ["--continuous", "1 second"], spark=spark)
