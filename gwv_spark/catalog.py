@@ -93,9 +93,7 @@ def snapshot_id(spark: SparkSession, ref: str) -> str:
                 "refusing a resume key that could mix corpus versions"
             )
     h = hashlib.sha256()
-    base = Path(ref)
-    files = sorted(base.rglob("*.parquet")) if base.is_dir() else [base]
-    for f in files:
+    for f in _visible_parquet_files(ref):
         st = f.stat()
         h.update(f"{f}\x1f{st.st_size}\x1f{st.st_mtime_ns}\n".encode())
     return h.hexdigest()[:16]
@@ -104,10 +102,26 @@ def snapshot_id(spark: SparkSession, ref: str) -> str:
 # ------------------------------------------------------- snapshot manifests
 
 
-def _table_files(ref: str) -> list[str]:
+def _visible_parquet_files(ref: str) -> list[Path]:
+    """Data files as Spark's file index would see them: underscore/dot
+    path components (``_snapshots``, ``_compact_tmp`` staging,
+    ``_centroids``, checkpoints) are invisible.  Both the snapshot
+    manifests and the content fingerprint MUST apply this rule — a
+    crashed compaction's staged files would otherwise leak into
+    manifests (double-counting the leaf on load_snapshot) and churn the
+    fingerprint that keys the resume ledger."""
     base = Path(ref)
-    files = sorted(base.rglob("*.parquet")) if base.is_dir() else [base]
-    return [str(f) for f in files]
+    if not base.is_dir():
+        return [base]
+    return sorted(
+        f
+        for f in base.rglob("*.parquet")
+        if not any(part.startswith(("_", ".")) for part in f.relative_to(base).parts)
+    )
+
+
+def _table_files(ref: str) -> list[str]:
+    return [str(f) for f in _visible_parquet_files(ref)]
 
 
 def _manifest_dir(ref: str) -> Path:
@@ -250,10 +264,17 @@ def compact(
     # that are the whole point of that layout.  Refuse loudly.
     bucket_marker = re.compile(r"_\d{5}\.c\d{3}")
     n_before = n_after = n_leaves = 0
+    import shutil
+
     for leaf in _leaf_dirs(ref):
         tmp = leaf / "_compact_tmp"
         if (tmp / "_PLAN.json").exists():
             _finish_swap(leaf)
+        elif tmp.exists():
+            # staged-but-unjournaled leftovers from a crash mid-staging:
+            # the swap never started, so the originals are intact —
+            # discard the stage (a later `continue` must not leave it)
+            shutil.rmtree(tmp, ignore_errors=True)
         files = sorted(p for p in leaf.glob("*.parquet") if not p.name.startswith(("_", ".")))
         if any(bucket_marker.search(p.name) for p in files):
             raise ValueError(

@@ -221,7 +221,10 @@ def near_dup_groups(
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("canonical_doc"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            # doc_ids is a REPORT column: capped so one pathological
+            # mega-component (threshold too loose) cannot materialize a
+            # row the size of the corpus; n_docs stays exact
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 1000).alias("doc_ids"),
         )
         .where(F.col("n_docs") > 1)
     )

@@ -101,7 +101,8 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min(args.id_col).alias("canonical_doc"),
-            F.sort_array(F.collect_list(args.id_col)).alias("doc_ids"),
+            # report column, capped (see components.near_dup_groups)
+            F.slice(F.sort_array(F.collect_list(args.id_col)), 1, 1000).alias("doc_ids"),
         )
         .where(F.col("n_docs") > 1)
     )
@@ -121,7 +122,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
            f"- similarity threshold may be too loose" if big else "")
     )
     if args.write_corpus:
-        keep.where("keep").drop("component_id", "keep", "_pref").write.mode(
+        keep.where("keep").drop("component_id", "keep").write.mode(
             "overwrite"
         ).parquet(f"{args.output}/deduped")
     keep.unpersist()

@@ -218,20 +218,37 @@ def frequent_items_by_group(
         mass = int(acc.sum()) if len(acc) else 0
         eb = (n_group - mass) / (k + 1)
         order = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
-        return pd.DataFrame(
-            [
+        rows = [
+            {
+                key: pdf["k"].iloc[0],
+                "item": str(i),
+                "count_lo": int(w),
+                "count_hi": float(w) + eb,
+                "rank": r + 1,
+                "n_group": n_group,
+                "error_bound": eb,
+            }
+            for r, (i, w) in enumerate(order)
+        ]
+        if not rows:
+            # a summary can prune to EMPTY (near-uniform group: every
+            # counter ties and the subtraction clears them all) — the
+            # group still existed, and the caller needs its n_group and
+            # bound ("no value exceeds error_bound") rather than a
+            # silently missing key.  item=NULL, rank=0 marks the
+            # no-dominant-value sentinel.
+            rows = [
                 {
                     key: pdf["k"].iloc[0],
-                    "item": str(i),
-                    "count_lo": int(w),
-                    "count_hi": float(w) + eb,
-                    "rank": r + 1,
+                    "item": None,
+                    "count_lo": 0,
+                    "count_hi": eb,
+                    "rank": 0,
                     "n_group": n_group,
                     "error_bound": eb,
                 }
-                for r, (i, w) in enumerate(order)
             ]
-        )
+        return pd.DataFrame(rows)
 
     return parts.groupBy("k").applyInPandas(merge_group, out_schema)
 

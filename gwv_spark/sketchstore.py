@@ -325,7 +325,9 @@ def merged_column_stats(
                     np.asarray(means), np.asarray(weights),
                     float(vmin), float(vmax), int(cnt),
                 )
-        qs = d.quantiles(_QS)
+        # empty digest (non-numeric column) → NULL quantiles, matching
+        # vmin/vmax — a NaN here survives isNotNull() and breaks JSON
+        qs = d.quantiles(_QS) if d.n else (None, None, None)
         n_val = n - n_null
         order = _merge_mg_rows(pdf["mg_items"], pdf["mg_weights"], mg_k)
         mg_mass = sum(w for _, w in order)
@@ -409,6 +411,11 @@ def update_store(
     partition overwrite, so a re-run of the same append overwrites its
     own partition instead of duplicating rows.
 
+    Files the store knows but the table no longer has (an input
+    compaction or overwrite) are EVICTED first — their rows would
+    otherwise double-count the rewritten data in every subsequent fold;
+    the rebase is a full rewrite of the KB-sized store.
+
     Large backlogs (the 10^6-file bootstrap) are committed in chunks of
     ``files_per_batch``, each its own batch partition — a crash resumes
     at the first unsketched chunk instead of redoing the whole scan, the
@@ -421,8 +428,44 @@ def update_store(
     )
     known = store_files(spark, store_dir)
     new = [f for f in current if f not in known]
+    # files the store knows that the table no longer has (compaction /
+    # overwrite of the input): their rows must be EVICTED, or every
+    # fold double-counts the rewritten data forever.  The store is
+    # KB-rows, so the rebase is a cheap full rewrite under a single
+    # batch partition (same single-writer contract as any update).
+    stale = sorted(known - set(current))
+    n_stale = len(stale)
+    if stale:
+        # localCheckpoint BEFORE the overwrite: the surviving rows must
+        # be materialized off the directory we are about to truncate
+        # (a lazy read would recompute from the truncated store).  On a
+        # real Iceberg deployment this whole block is a transactional
+        # DELETE WHERE file IN (...).
+        keep_rows = (
+            spark.read.parquet(store_dir)
+            .where(~F.col("file").isin(stale))
+            .drop("batch_id")
+            .localCheckpoint(eager=True)
+        )
+        rebase_id = "rebase-" + hashlib.sha256("\n".join(stale).encode()).hexdigest()[:16]
+        (
+            keep_rows.withColumn("batch_id", F.lit(rebase_id))
+            # STATIC overwrite on purpose: the rebase must truncate ALL
+            # old batch partitions (the session default is dynamic,
+            # which would only replace the rebase partition itself)
+            .write.option("partitionOverwriteMode", "static")
+            .mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(store_dir)
+        )
+        known = store_files(spark, store_dir)
     if not new:
-        return {"n_new_files": 0, "n_known_files": len(known), "batch_id": None}
+        return {
+            "n_new_files": 0,
+            "n_known_files": len(known),
+            "n_stale_removed": n_stale,
+            "batch_id": None,
+        }
     batch_ids = []
     for i in range(0, len(new), files_per_batch):
         chunk = new[i : i + files_per_batch]
@@ -456,6 +499,7 @@ def update_store(
     return {
         "n_new_files": len(new),
         "n_known_files": len(known),
+        "n_stale_removed": n_stale,
         "batch_id": batch_ids[-1],
         "n_batches": len(batch_ids),
     }

@@ -94,6 +94,23 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     if owns_session:
         spark = SparkSession.builder.appName("gwv_spark-stream").getOrCreate()
 
+    def _maybe_compact() -> None:
+        if args.compact_after is None:
+            return
+        from gwv_spark import catalog
+
+        base = Path(args.sketch) if args.sketch else Path(args.output)
+        for sub in sorted(base.iterdir()) if base.is_dir() else []:
+            # sinks only: checkpoints/underscore state stay untouched
+            if sub.is_dir() and not sub.name.startswith(("_", ".")):
+                res = catalog.compact(
+                    spark, str(sub), target_file_bytes=args.compact_after
+                )
+                print(
+                    f"compact {sub.name}: {res['files_before']} -> "
+                    f"{res['files_after']} files"
+                )
+
     if args.near_dup:
         from pyspark.sql import functions as F
 
@@ -117,6 +134,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         groups.write.mode("overwrite").parquet(f"{args.output}/groups")
         n_groups = spark.read.parquet(f"{args.output}/groups").count()
         print(f"near-dup: {n_groups} duplicate group(s) in the accumulated log")
+        _maybe_compact()
         if owns_session:
             spark.stop()
         return
@@ -158,20 +176,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             n_buckets=args.n_buckets,
         )
     q.awaitTermination()
-    if args.compact_after is not None:
-        from gwv_spark import catalog
-
-        base = Path(args.sketch) if args.sketch else Path(args.output)
-        for sub in sorted(base.iterdir()) if base.is_dir() else []:
-            # sinks only: checkpoints/underscore state stay untouched
-            if sub.is_dir() and not sub.name.startswith(("_", ".")):
-                res = catalog.compact(
-                    spark, str(sub), target_file_bytes=args.compact_after
-                )
-                print(
-                    f"compact {sub.name}: {res['files_before']} -> "
-                    f"{res['files_after']} files"
-                )
+    _maybe_compact()
     if owns_session:
         spark.stop()
 

@@ -835,8 +835,14 @@ def stream_simhash_monitor(
     docs = spark.readStream.schema(TEXT_DOCS_SCHEMA)
     if max_files_per_trigger is not None:
         docs = docs.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    sig = docs.parquet(input_path).select(
-        "doc_id", simhash_udf(F.col("text")).alias("simhash")
+    # token-less docs carry no content evidence and all share the empty
+    # signature — exclude them from pairing, mirroring the batch
+    # simhash_near_pairs (a blank-doc flood would otherwise pair
+    # quadratically AND poison every bucket's state)
+    sig = (
+        docs.parquet(input_path)
+        .where(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
     )
     n_blocks = max_hamming + 1
     width = 64 // n_blocks

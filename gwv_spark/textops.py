@@ -357,8 +357,18 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "tex
     """Near-dup pairs by SimHash Hamming distance ≤ k, using the
     block-permutation trick: split the 64-bit hash into (k+1) blocks —
     any pair within distance k shares at least one exact block, so the
-    candidate join is an equi-join on (block_id, block_value)."""
-    sh = simhash64(df, text_col, id_col)
+    candidate join is an equi-join on (block_id, block_value).
+
+    Token-less documents (null/empty/whitespace text) are excluded from
+    pairing: they all hash to the same empty signature, which carries
+    no content evidence — including them would (a) declare every pair
+    of blank docs a near-dup and (b) blow the block join up to ~N²/2
+    candidate rows over the blank population.  Exact-dedup of blanks
+    belongs to exact_dup_groups, where identical text IS the claim."""
+    nonblank = df.where(
+        F.trim(F.coalesce(F.col(text_col), F.lit(""))) != ""
+    )
+    sh = simhash64(nonblank, text_col, id_col)
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
     blocks = sh.select(

@@ -72,7 +72,12 @@ def _local_topk(k: int):
             batch = batch.sort_values(
                 ["priority", "doc_id", "sortkey"], kind="mergesort"
             )
-            carry = batch.groupby(["rule_id", "errcode"], sort=False).head(k)
+            # dropna=False: nothing in the schema forbids a NULL
+            # rule_id/errcode, and the counts agg keeps the null group —
+            # stage 1 must not silently drop what stage 2 will count
+            carry = batch.groupby(
+                ["rule_id", "errcode"], sort=False, dropna=False
+            ).head(k)
         if carry is not None and len(carry):
             yield carry
 
@@ -108,10 +113,19 @@ def sample_violations(
     counts = violations.groupBy("rule_id", "errcode").agg(
         F.count(F.lit(1)).alias("n_total")
     )
-    return sampled.join(
-        F.broadcast(counts), ["rule_id", "errcode"], "inner"
-    ).select(
-        "rule_id", "errcode", "n_total", "sample_rank", "doc_id", "detail", "sortkey"
+    # null-safe join keys for the same reason as the dropna above
+    cond = [
+        sampled["rule_id"].eqNullSafe(counts["rule_id"]),
+        sampled["errcode"].eqNullSafe(counts["errcode"]),
+    ]
+    return sampled.join(F.broadcast(counts), cond, "inner").select(
+        sampled["rule_id"],
+        sampled["errcode"],
+        counts["n_total"],
+        sampled["sample_rank"],
+        sampled["doc_id"],
+        sampled["detail"],
+        sampled["sortkey"],
     )
 
 

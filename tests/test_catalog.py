@@ -223,3 +223,30 @@ def test_compact_refuses_bucketed_tables(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="bucketed"):
         catalog.compact(spark, str(ref))
+
+
+def test_stale_stage_and_manifest_visibility(spark, tmp_path):
+    """Review regressions: (a) a crashed-before-journal _compact_tmp is
+    discarded on the next compact even when the leaf no longer
+    qualifies; (b) staged files never leak into snapshot manifests or
+    the content fingerprint."""
+    from gwv_spark import catalog
+
+    ref = str(tmp_path / "t")
+    spark.range(300).coalesce(1).write.parquet(ref)
+    fp_clean = catalog.snapshot_id(spark, ref)
+    leaf = catalog._leaf_dirs(ref)[0]
+    tmp = leaf / "_compact_tmp"
+    # crash mid-staging: staged files, no _PLAN.json
+    spark.read.parquet(str(leaf)).repartition(2).write.parquet(str(tmp))
+    # staged files are INVISIBLE to fingerprint + manifest
+    assert catalog.snapshot_id(spark, ref) == fp_clean
+    sid = catalog.commit_snapshot(spark, ref)
+    assert all("_compact_tmp" not in f for f in catalog.snapshots(ref)[-1]["files"])
+    assert catalog.load_snapshot(spark, ref, sid).count() == 300
+    # single-file leaf does not qualify for compaction — the stale
+    # stage must STILL be cleaned up
+    res = catalog.compact(spark, ref, target_file_bytes=1 << 30)
+    assert not tmp.exists()
+    assert res["leaves_compacted"] == 0
+    assert spark.read.parquet(ref).count() == 300

@@ -312,7 +312,9 @@ def test_stream_job_near_dup_mode(spark, tmp_path):
             "--near-dup", "--max-hamming", "6"]
     stream_job.main(argv, spark=spark)
     df.subtract(df.limit(2)).coalesce(1).write.parquet(str(land / "d1"))
-    stream_job.main(argv, spark=spark)
+    # second drain also exercises the post-drain maintenance hook
+    # (review regression: --near-dup used to return before --compact-after)
+    stream_job.main(argv + ["--compact-after", str(1 << 30)], spark=spark)
 
     got = sorted(
         tuple(r["doc_ids"]) for r in spark.read.parquet(str(out / "groups")).collect()
@@ -329,3 +331,25 @@ def test_stream_job_near_dup_mode(spark, tmp_path):
         stream_job.main(argv + ["--ri"], spark=spark)
     with _pytest.raises(SystemExit):
         stream_job.main(argv + ["--continuous", "1 second"], spark=spark)
+
+
+def test_blank_docs_never_near_dup_pair(spark):
+    """Review regression: token-less docs all hash to the empty SimHash
+    signature — pairing them would declare every pair of blanks a
+    near-dup AND blow the candidate join up quadratically.  They are
+    excluded from signature pairing; exact_dup_groups still owns the
+    'identical (empty) text' claim."""
+    from gwv_spark.textops import exact_dup_groups, simhash_near_pairs
+
+    docs = spark.createDataFrame(
+        [("a", None), ("b", ""), ("c", "   "),
+         ("d", "real content here " * 10), ("e", "real content here " * 10)],
+        "doc_id string, text string",
+    )
+    pairs = simhash_near_pairs(docs, max_hamming=6).collect()
+    paired = {d for r in pairs for d in (r["doc_a"], r["doc_b"])}
+    assert paired <= {"d", "e"}
+    assert ("d", "e") in {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # exact dedup still groups the truly identical blanks ("" == "")
+    eg = exact_dup_groups(docs.where(F.col("text").isNotNull())).collect()
+    assert any(r["n_docs"] == 2 for r in eg)  # d+e group at minimum

@@ -201,3 +201,23 @@ def test_by_group_null_key_is_a_real_group(spark):
     assert by_key.get(None) == {"x": 2, "y": 1}
     assert by_key.get("g") == {"z": 1}
     assert all(r["n_group"] == (3 if r["k"] is None else 1) for r in out)
+
+
+def test_by_group_near_uniform_group_emits_sentinel(spark):
+    """Review regression: a group whose MG summary prunes to empty
+    (near-uniform counts) must still appear — item=NULL, rank=0, with
+    its n_group and bound — not vanish."""
+    rows = [("u", f"unique{i}") for i in range(300)] + [("g", "dom")] * 50
+    df = spark.createDataFrame(rows, "k string, v string").repartition(4)
+    out = freq.frequent_items_by_group(df, "k", "v", k=8).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    assert "g" in by_key and by_key["g"][0]["item"] == "dom"
+    assert "u" in by_key, "near-uniform group must not vanish"
+    u = by_key["u"]
+    if u[0]["item"] is None:  # fully pruned → sentinel contract
+        assert u[0]["rank"] == 0 and u[0]["n_group"] == 300
+        assert u[0]["error_bound"] > 0
+    else:  # partial survival is fine too — bounds must hold
+        assert all(r["count_lo"] <= 1 for r in u)

@@ -534,3 +534,35 @@ def test_store_heavy_hitters_exact_low_cardinality(spark, tmp_path):
     got = _stats_by_col(sketchstore.stats_from_store(spark, store))["g"]
     assert got["top_error_bound"] == 0.0
     assert dict(zip(got["top_items"], got["top_weights"])) == {str(i): 1800 for i in range(5)}
+
+
+def test_stale_input_files_are_evicted(spark, tmp_path):
+    """Review regression: an input compaction/overwrite replaces data
+    files; the store's rows for vanished files must be evicted or every
+    fold double-counts the rewritten data."""
+    data = str(tmp_path / "data")
+    store = str(tmp_path / "store")
+    df = spark.range(5000).select(
+        (F.col("id") % 11).cast("double").alias("num")
+    )
+    df.repartition(3).write.parquet(data)
+    sketchstore.update_store(spark, data, store, ["num"])
+    # rewrite the input in place (compaction shape: same rows, new files)
+    import shutil as _sh
+
+    tmp2 = str(tmp_path / "rewrite")
+    spark.read.parquet(data).repartition(1).write.parquet(tmp2)
+    _sh.rmtree(data)
+    _sh.move(tmp2, data)
+    res = sketchstore.update_store(spark, data, store, ["num"])
+    assert res["n_stale_removed"] == 3, res
+    got = _stats_by_col(sketchstore.stats_from_store(spark, store))["num"]
+    assert got["n"] == 5000  # single-counted
+    assert abs(got["distinct_est"] - 11) < 1
+    # string column quantiles are NULL, not NaN (review regression)
+    data2 = str(tmp_path / "d2")
+    store2 = str(tmp_path / "s2")
+    spark.range(100).select(F.col("id").cast("string").alias("s")).write.parquet(data2)
+    sketchstore.update_store(spark, data2, store2, ["s"])
+    row = _stats_by_col(sketchstore.stats_from_store(spark, store2))["s"]
+    assert row["p50"] is None and row["p25"] is None

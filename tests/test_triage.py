@@ -213,3 +213,19 @@ def test_sample_per_key_null_keys_and_null_cells(spark):
     assert len(null_rows) == 3 and all(r[4] == 3 for r in null_rows)
     en_rows = [r for r in a if r[0] == "en"]
     assert len(en_rows) == 2 and all(r[4] == 2 for r in en_rows)
+
+
+def test_sample_violations_null_errcode_sampled_and_counted(spark):
+    """Review regression: a NULL errcode group was counted by stage-2
+    but dropped by stage-1's pandas groupby — counted yet unsampled."""
+    from gwv_spark import triage
+
+    vio = spark.createDataFrame(
+        [("r1", None, "d1", ["x"], "s1"), ("r1", None, "d2", ["y"], "s2"),
+         ("r1", "0", "d3", ["z"], "s3")],
+        "rule_id string, errcode string, doc_id string, detail array<string>, sortkey string",
+    )
+    rows = triage.sample_violations(vio, k=5).collect()
+    null_rows = [r for r in rows if r["errcode"] is None]
+    assert len(null_rows) == 2
+    assert all(r["n_total"] == 2 for r in null_rows)
