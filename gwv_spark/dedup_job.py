@@ -54,6 +54,9 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     p.add_argument("--text-col", default="text")
     p.add_argument("--max-hamming", type=int, default=3,
                    help="SimHash Hamming radius for near-dup pairs")
+    p.add_argument("--max-bucket", type=int, default=100_000,
+                   help="drop signature-block buckets larger than this "
+                        "(boilerplate safety valve; 0 disables)")
     p.add_argument("--exact", action="store_true",
                    help="also pair md5-identical documents")
     p.add_argument("--prefer", default=None,
@@ -72,6 +75,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     pairs = simhash_near_pairs(
         docs, max_hamming=args.max_hamming,
         text_col=args.text_col, id_col=args.id_col,
+        max_bucket=args.max_bucket or None,
     ).select("doc_a", "doc_b")
     if args.exact:
         h = docs.select(

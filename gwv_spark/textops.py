@@ -353,7 +353,13 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
-def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ k, using the
     block-permutation trick: split the 64-bit hash into (k+1) blocks —
     any pair within distance k shares at least one exact block, so the
@@ -364,7 +370,17 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "tex
     no content evidence — including them would (a) declare every pair
     of blank docs a near-dup and (b) blow the block join up to ~N²/2
     candidate rows over the blank population.  Exact-dedup of blanks
-    belongs to exact_dup_groups, where identical text IS the claim."""
+    belongs to exact_dup_groups, where identical text IS the claim.
+
+    ``max_bucket`` is the boilerplate safety valve (the jaccard
+    ``max_df`` stop-shingle cap's analogue, textops.py jaccard_pairs):
+    a (block_id, block_val) bucket holding more than this many docs is
+    dropped from candidate generation — such a bucket means a large
+    population shares a signature block (template/boilerplate text),
+    and joining it costs |bucket|²/2 rows while a pair in it is still
+    reachable through its other k blocks unless those are equally
+    degenerate.  None (default) preserves exact block-permutation
+    semantics — the shipped oracle checks that form."""
     nonblank = df.where(
         F.trim(F.coalesce(F.col(text_col), F.lit(""))) != ""
     )
@@ -388,6 +404,14 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "tex
             )
         ).alias("b"),
     ).select("doc_id", "simhash", "b.block_id", "b.block_val")
+    if max_bucket is not None:
+        sizes = blocks.groupBy("block_id", "block_val").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        blocks = (
+            blocks.join(F.broadcast(sizes.where(F.col("_bn") > max_bucket)),
+                        ["block_id", "block_val"], "left_anti")
+        )
     a = blocks.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "block_id", "block_val"
     )

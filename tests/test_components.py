@@ -353,3 +353,29 @@ def test_blank_docs_never_near_dup_pair(spark):
     # exact dedup still groups the truly identical blanks ("" == "")
     eg = exact_dup_groups(docs.where(F.col("text").isNotNull())).collect()
     assert any(r["n_docs"] == 2 for r in eg)  # d+e group at minimum
+
+
+def test_simhash_hot_bucket_cap(spark):
+    """The boilerplate safety valve: a template population whose docs
+    all share every signature block is dropped from candidate
+    generation at max_bucket, while a diverse planted pair is still
+    found; the default (None) preserves exact semantics."""
+    from gwv_spark.textops import simhash_near_pairs
+
+    template = [
+        (f"b{i:02d}", "identical boilerplate body shared by everyone " * 5)
+        for i in range(30)
+    ]
+    diverse = [
+        ("x1", "genuinely distinct content alpha beta gamma delta " * 5),
+        ("x2", "genuinely distinct content alpha beta gamma delta " * 5),
+    ]
+    docs = spark.createDataFrame(template + diverse, "doc_id string, text string")
+    capped = simhash_near_pairs(docs, max_hamming=3, max_bucket=10).collect()
+    capped_docs = {d for r in capped for d in (r["doc_a"], r["doc_b"])}
+    assert ("x1", "x2") in {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert not any(d.startswith("b") for d in capped_docs)
+    # uncapped default still pairs the boilerplate population
+    full = simhash_near_pairs(docs, max_hamming=3).collect()
+    full_docs = {d for r in full for d in (r["doc_a"], r["doc_b"])}
+    assert any(d.startswith("b") for d in full_docs)
