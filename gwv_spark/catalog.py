@@ -261,12 +261,27 @@ def compact(
     # bucketed tables (bucketed.py) encode the bucket id in the file
     # name (`..._00003.c000...`); rewriting them here would silently
     # break the bucket spec — and with it the zero-Exchange join plans
-    # that are the whole point of that layout.  Refuse loudly.
+    # that are the whole point of that layout.  Refuse loudly, and
+    # refuse BEFORE any swap: the scan below runs over every leaf up
+    # front so a mixed table (bucketed leaf after plain leaves) is left
+    # fully untouched rather than half-compacted with prior snapshot
+    # manifests pointing at deleted files.  Bucketed LAYOUTS have their
+    # own compactor (bucketed.compact_layout) that preserves the spec.
     bucket_marker = re.compile(r"_\d{5}\.c\d{3}")
+    leaves = _leaf_dirs(ref)
+    for leaf in leaves:
+        for p in leaf.glob("*.parquet"):
+            if not p.name.startswith(("_", ".")) and bucket_marker.search(p.name):
+                raise ValueError(
+                    f"compact: {leaf} holds bucketed data files (bucket-id "
+                    f"suffix in name); compacting would break the bucket "
+                    f"spec — use bucketed.compact_layout for bucketed "
+                    f"layouts, or rebuild via bucketed.materialize"
+                )
     n_before = n_after = n_leaves = 0
     import shutil
 
-    for leaf in _leaf_dirs(ref):
+    for leaf in leaves:
         tmp = leaf / "_compact_tmp"
         if (tmp / "_PLAN.json").exists():
             _finish_swap(leaf)
@@ -276,13 +291,6 @@ def compact(
             # discard the stage (a later `continue` must not leave it)
             shutil.rmtree(tmp, ignore_errors=True)
         files = sorted(p for p in leaf.glob("*.parquet") if not p.name.startswith(("_", ".")))
-        if any(bucket_marker.search(p.name) for p in files):
-            raise ValueError(
-                f"compact: {leaf} holds bucketed data files (bucket-id "
-                f"suffix in name); compacting would break the bucket "
-                f"spec — rebuild the layout via bucketed.materialize "
-                f"instead"
-            )
         n_before += len(files)
         if len(files) < min_files:
             n_after += len(files)

@@ -51,7 +51,7 @@ __all__ = [
     "mg_prune",
 ]
 
-SKETCH_SCHEMA = "item string, w long, n long"
+SKETCH_SCHEMA = "item string, w long, n long, k long"
 
 
 def mg_prune(acc, keep: int):
@@ -70,7 +70,10 @@ def partition_sketches(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     """Stage 1: one MG summary per task over `col` (nulls excluded).
     Output rows: (item, w>0, n=0) for the ≤ k surviving counters plus a
     sentinel (item=NULL, w=0, n=task row count) carrying the exact
-    non-null total the error bound needs."""
+    non-null total the error bound needs.  Every row also carries the
+    prune parameter `k` so merged_summary can certify its bound: the
+    (n−mass)/(k+1) guarantee is only valid when the merge-side k is
+    ≤ every prune's k, and without the stamp a mismatch is silent."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     src = df.select(F.col(col).cast("string").alias("item")).where(F.col(col).isNotNull())
@@ -88,15 +91,21 @@ def partition_sketches(df: DataFrame, col: str, k: int = 64) -> DataFrame:
             if len(acc) > work_cap:
                 acc = mg_prune(acc, 4 * k)
         acc = mg_prune(acc, k)
-        rows = [{"item": str(i), "w": int(w), "n": 0} for i, w in acc.items()]
-        rows.append({"item": None, "w": 0, "n": n})
+        rows = [{"item": str(i), "w": int(w), "n": 0, "k": k} for i, w in acc.items()]
+        rows.append({"item": None, "w": 0, "n": n, "k": k})
         yield pd.DataFrame(rows)
 
     return src.mapInPandas(gen, SKETCH_SCHEMA)
 
 
-def merged_summary(sketches: DataFrame, k: int = 64) -> DataFrame:
+def merged_summary(sketches: DataFrame, k: int | None = None) -> DataFrame:
     """Stage 2: fold task summaries into one global summary.
+
+    `k` defaults to the prune parameter stamped on the stage-1 rows (the
+    common case: same k both sides).  Passing it explicitly is validated
+    against the stamp — a merge-side k larger than ANY prune's k would
+    certify a bound the prunes never guaranteed, so that call raises
+    instead of silently producing an invalid sandwich.
 
     Every surviving item keeps its summed lower-bound weight `count_lo`;
     `count_hi = count_lo + error_bound` where
@@ -112,10 +121,26 @@ def merged_summary(sketches: DataFrame, k: int = 64) -> DataFrame:
     scan."""
     sk = sketches.localCheckpoint(eager=True)
     tot = sk.agg(
-        F.sum("n").alias("n_total"), F.sum("w").alias("mass")
+        F.sum("n").alias("n_total"),
+        F.sum("w").alias("mass"),
+        F.min("k").alias("k_min"),
     ).collect()[0]
     n_total = int(tot["n_total"] or 0)
     mass = int(tot["mass"] or 0)
+    k_min = tot["k_min"]
+    if k is None:
+        if k_min is None:
+            raise ValueError(
+                "merged_summary: empty sketch input and no explicit k - "
+                "nothing records the prune parameter the bound needs"
+            )
+        k = int(k_min)
+    elif k_min is not None and k > int(k_min):
+        raise ValueError(
+            f"merged_summary: merge-side k={k} exceeds the smallest "
+            f"stage-1 prune k={int(k_min)}; the (n-mass)/(k+1) bound "
+            f"would be invalid - pass k <= {int(k_min)} or omit it"
+        )
     error_bound = (n_total - mass) / (k + 1)
     return (
         sk.where(F.col("item").isNotNull())

@@ -304,7 +304,15 @@ def merged_column_stats(
     """Fold sketch rows into one stats row per column.  The shuffle
     moves KB-sized sketch rows grouped by column name — independent of
     data size; a single hot column costs its merger <= n_sketch_rows
-    small rows, never raw data."""
+    small rows, never raw data.
+
+    ``top_items`` caveat: heavy-hitter keys were truncated to
+    MG_VALUE_WIDTH (=64) chars at sketch time, so distinct values
+    sharing a 64-char prefix merge into ONE counter — a top_weights
+    entry is a lower bound for the PREFIX's total count, not for any
+    single full value's count (long URLs sharing a domain prefix are
+    the canonical case).  Keys of exactly MG_VALUE_WIDTH chars may be
+    truncations; treat them as prefix buckets."""
 
     def fold(pdf):
         import pandas as pd
@@ -374,7 +382,12 @@ def sketch_column_stats(
 
 def top_values(stats: DataFrame, column: str) -> list[tuple[str, int]]:
     """Convenience: the heavy-hitter list of one column from a stats
-    DataFrame as [(value, count_lower_bound), ...], heaviest first."""
+    DataFrame as [(value, count_lower_bound), ...], heaviest first.
+
+    Values are MG_VALUE_WIDTH(=64)-char prefixes: a returned key of
+    exactly that length may aggregate several distinct full values, and
+    its bound then applies to the prefix population, not to any one
+    value (see merged_column_stats)."""
     row = stats.where(F.col("column") == column).select(
         "top_items", "top_weights"
     ).collect()

@@ -319,10 +319,17 @@ def write_ivf_index(
     probe's nprobe lists become parquet partition directories, so the
     scan reads nprobe/n_lists of the table via partition pruning
     (asserted on the plan in tests/test_ivf.py), not via a post-scan
-    filter."""
+    filter.
+
+    partitionOverwriteMode is forced to ``static`` here: the session
+    default is dynamic (session.py), under which a retrain that maps a
+    list id to zero vectors would silently KEEP the old quantizer's
+    files for that list — stale mis-routed vectors coexisting with the
+    new ``_centroids``.  A rebuild must truncate the whole index, which
+    is also the contract load_ivf_centroids's recovery story assumes."""
     ivf_assign(vectors, centroids, vec_col).write.partitionBy(
         "ivf_list"
-    ).mode("overwrite").parquet(path)
+    ).mode("overwrite").option("partitionOverwriteMode", "static").parquet(path)
     _write_ivf_centroids(vectors.sparkSession, centroids, path)
 
 

@@ -225,6 +225,30 @@ def test_compact_refuses_bucketed_tables(spark, tmp_path):
         catalog.compact(spark, str(ref))
 
 
+def test_compact_mixed_table_left_untouched(spark, tmp_path):
+    """ADVICE r4 regression: the bucketed-leaf refusal must fire BEFORE
+    any swap.  A mixed table (compactable plain leaves + one bucketed
+    leaf) previously raised after already swapping earlier leaves,
+    leaving prior snapshot manifests pointing at deleted files; now the
+    pre-scan refuses with every leaf untouched."""
+    from gwv_spark import catalog
+
+    ref = tmp_path / "mix"
+    # plain leaf that WOULD be compacted (sorts before the bucketed one)
+    spark.range(400).repartition(4).write.parquet(str(ref / "p=a"))
+    before = sorted(p.name for p in (ref / "p=a").glob("*.parquet"))
+    assert len(before) == 4
+    bkt = ref / "p=z"
+    bkt.mkdir()
+    (bkt / "part-00000-abc_00003.c000.snappy.parquet").write_bytes(b"x")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucketed"):
+        catalog.compact(spark, str(ref), target_file_bytes=1 << 30)
+    after = sorted(p.name for p in (ref / "p=a").glob("*.parquet"))
+    assert after == before, "plain leaf must be untouched after refusal"
+
+
 def test_stale_stage_and_manifest_visibility(spark, tmp_path):
     """Review regressions: (a) a crashed-before-journal _compact_tmp is
     discarded on the next compact even when the leaf no longer

@@ -221,3 +221,29 @@ def test_by_group_near_uniform_group_emits_sentinel(spark):
         assert u[0]["error_bound"] > 0
     else:  # partial survival is fine too — bounds must hold
         assert all(r["count_lo"] <= 1 for r in u)
+
+
+def test_merge_k_is_stamped_and_validated(spark, zipf):
+    """ADVICE r4 regression: a merge-side k larger than the stage-1
+    prune k would certify a bound the prunes never guaranteed.  The
+    prune k is now stamped on every sketch row; omitting k at merge
+    uses the stamp, and an oversized explicit k raises instead of
+    silently producing an invalid sandwich."""
+    df, truth = zipf
+    k = 50
+    sk = freq.partition_sketches(df.repartition(4), "val", k)
+    # default: k read from the stamp — identical bound to explicit k
+    auto = {r["item"]: r for r in freq.merged_summary(sk).collect()}
+    expl = {r["item"]: r for r in freq.merged_summary(sk, k).collect()}
+    assert auto.keys() == expl.keys()
+    any_item = next(iter(auto))
+    assert auto[any_item]["error_bound"] == expl[any_item]["error_bound"]
+    # merge-side k above the prune k: loud failure
+    with pytest.raises(ValueError, match="exceeds the smallest"):
+        freq.merged_summary(sk, k + 1).collect()
+    # smaller merge-side k is sound (larger bound) and allowed
+    smaller = freq.merged_summary(sk, k - 10).collect()
+    n = sum(truth.values())
+    for r in smaller:
+        assert r["count_lo"] <= truth[r["item"]] <= r["count_hi"]
+        assert r["error_bound"] <= n / (k - 10 + 1)

@@ -194,3 +194,28 @@ def test_append_equals_rebuild(spark, emb, centroids, tmp_path):
 def test_missing_quantizer_fails_with_rebuild_guidance(spark, tmp_path):
     with pytest.raises(ValueError, match="re-run write_ivf_index"):
         vectorops.load_ivf_centroids(spark, str(tmp_path / "nope"))
+
+
+def test_retrain_rewrite_truncates_stale_lists(spark, emb, centroids, tmp_path):
+    """ADVICE r4 regression: the session default is DYNAMIC partition
+    overwrite, under which a retrain mapping fewer lists would keep the
+    old quantizer's files for any list id absent from the new
+    assignment — stale mis-routed vectors beside the new _centroids.
+    write_ivf_index forces static overwrite, so a rebuild truncates the
+    whole index."""
+    from pathlib import Path as _P
+
+    idx = str(tmp_path / "idx")
+    vectorops.write_ivf_index(emb, centroids, idx)
+    wide = {p.name for p in _P(idx).glob("ivf_list=*")}
+    assert len(wide) > 4
+
+    few = vectorops.ivf_train_centroids(emb, dim=64, n_lists=4, seed=1)
+    vectorops.write_ivf_index(emb, few, idx)
+    left = {p.name for p in _P(idx).glob("ivf_list=*")}
+    assert all(int(d.split("=")[1]) < 4 for d in left), left
+    # no duplicated vectors under stale list dirs
+    assert spark.read.parquet(idx).count() == emb.count()
+    # and the stored quantizer matches the data on disk
+    stored = vectorops.load_ivf_centroids(spark, idx)
+    assert np.allclose(stored, few)
