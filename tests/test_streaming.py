@@ -575,6 +575,7 @@ def test_stream_simhash_near_dup_matches_batch(spark, tmp_path):
 
     from gwv_spark import textops
     from gwv_spark.streaming import (
+        _simhash64_batch,
         _simhash64_py,
         simhash_pairs_view,
         stream_simhash_drain,
@@ -587,8 +588,18 @@ def test_stream_simhash_near_dup_matches_batch(spark, tmp_path):
     df = spark.read.parquet(path).select("doc_id", "text")
 
     cat = {r["doc_id"]: r["simhash"] for r in textops.simhash64(df).collect()}
-    for r in df.collect():
+    local = df.collect()
+    for r in local:
         assert _simhash64_py(r["text"]) == cat[r["doc_id"]], r["doc_id"]
+    # the vectorized streaming batch (r5: no per-element Python map)
+    # must ALSO be bit-identical — including blank/empty/None edge rows
+    import pandas as pd
+
+    texts = pd.Series([r["text"] for r in local] + ["", None, "   "])
+    vec = _simhash64_batch(texts)
+    for j, r in enumerate(local):
+        assert int(vec.iloc[j]) == cat[r["doc_id"]], r["doc_id"]
+    assert list(vec.iloc[-3:]) == [0, 0, 0]
 
     landing = tmp_path / "landing"
     landing.mkdir()
