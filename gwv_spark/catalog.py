@@ -92,8 +92,18 @@ def snapshot_id(spark: SparkSession, ref: str) -> str:
                 f"cannot derive a snapshot/fingerprint for table {ref!r}; "
                 "refusing a resume key that could mix corpus versions"
             )
+    return fingerprint_files(_visible_parquet_files(ref))
+
+
+def fingerprint_files(files) -> str:
+    """Content fingerprint of an explicit file list — the same hash
+    :func:`snapshot_id` computes over a directory's visible files, so a
+    caller can verify that a SUBSET of today's table is still byte-wise
+    the table a past manifest recorded (incremental.py's append-only
+    guard: hash the prior manifest's files as they exist NOW and compare
+    to the prior snapshot id — any in-place rewrite shows up)."""
     h = hashlib.sha256()
-    for f in _visible_parquet_files(ref):
+    for f in sorted(Path(p) for p in files):
         st = f.stat()
         h.update(f"{f}\x1f{st.st_size}\x1f{st.st_mtime_ns}\n".encode())
     return h.hexdigest()[:16]

@@ -157,6 +157,17 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         help="quarantine per-record UDF crashes as __error__ rows "
         "instead of failing the job (gwv.py:28-32)",
     )
+    p.add_argument(
+        "--incremental",
+        action="store_true",
+        help="validate only the files appended since the previous run "
+        "on this output dir: document-local rules run over the "
+        "manifest diff (violations epoch-partitioned, union = full "
+        "set), delquote/delvar fold via the persisted RI state table "
+        "(retractions included), remaining corpus-scoped rules "
+        "recompute.  First run = full baseline.  Non-append input "
+        "changes fail fast (gwv_spark.incremental).",
+    )
     args = p.parse_args(argv)
 
     # On a cluster the session comes fully configured from spark-submit
@@ -171,6 +182,16 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     # complete.  Set it explicitly so an externally configured cluster
     # session can't silently lose resumed rules' violations.
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    if args.incremental:
+        from gwv_spark import incremental
+
+        try:
+            incremental.run(args, spark)
+        finally:
+            if owns_session:
+                spark.stop()
+        return
 
     from gwv_spark import catalog
 
@@ -215,7 +236,15 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(layout_dir)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(jvm_path):
-        prior = int(spark.read.json(layout_dir).collect()[0]["bucket_groups"])
+        row = spark.read.json(layout_dir).collect()[0]
+        if "incremental" in row.asDict() and row["incremental"]:
+            raise SystemExit(
+                f"output dir {out} holds an --incremental layout "
+                "(epoch-partitioned violations + RI state); classic runs "
+                "would double-count its epochs — use --incremental or a "
+                "fresh output dir"
+            )
+        prior = int(row["bucket_groups"])
         if prior != groups:
             raise SystemExit(
                 f"output dir {out} was written with --bucket-groups {prior}; "

@@ -233,3 +233,40 @@ def test_corner_dup_prefilter_before_arrow(spark, docs_df):
         assert "exists(spans_d" in phys or "exists(" in phys, (
             f"{rule_id} physical plan lacks the prefilter predicate"
         )
+
+
+def test_incremental_ri_fold_broadcasts_the_tiny_side(spark, docs_df):
+    """The append fold's one corpus-scale step (which candidate keys
+    exist?) must be a broadcast semi join — the corpus key column scans
+    map-side; an Exchange of the corpus side here would re-introduce
+    the full-catalog shuffle the fold exists to avoid."""
+    from gwv_spark import engine, incremental
+
+    ctx_delta = engine.make_context(
+        spark, docs_df.limit(50), cache=False, resolve_entity=False
+    )
+    state_prev = spark.createDataFrame([], incremental.RI_STATE_DDL)
+    corpus_keys = docs_df.select(F.col("doc_id").alias("key"))
+    folded = incremental.fold_ri_state(state_prev, ctx_delta, corpus_keys)
+    plan = _physical(folded)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    # the corpus-scale stage in isolation: corpus keys SEMI broadcast
+    # candidates, BEFORE the (candidate-sized) distinct — this exact
+    # sub-plan must be scan→BroadcastHashJoin with no shuffle at all.
+    # (The fold's remaining exchanges operate on state-/delta-sized
+    # frames: quote_probe's dedup and the matched distinct — bounded by
+    # outstanding violations + appended docs, never the corpus.)
+    cand = ctx_delta.docs.select(F.col("doc_id").alias("key")).limit(10)
+    semi = corpus_keys.join(F.broadcast(cand), "key", "left_semi")
+    semi_plan = _physical(semi)
+    assert "BroadcastHashJoin" in semi_plan and "LeftSemi" in semi_plan
+    shuffles = [
+        ln for ln in semi_plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+        # the test's own limit(10) on the BUILD side plans a
+        # SinglePartition gather of 10 rows — not a corpus shuffle
+        and "SinglePartition" not in ln
+    ]
+    assert not shuffles, shuffles
