@@ -195,6 +195,53 @@ def main() -> None:
     shutil.rmtree(inc_dir, ignore_errors=True)
     shutil.rmtree(inc_out, ignore_errors=True)
 
+    # TRUE incremental validation (r5, job.py --incremental): baseline
+    # over 90% of the corpus with every document-local rule (the
+    # geometry-heavy bulk of suite CPU) plus the two referential rules,
+    # then a 10% append validated as a manifest-diff delta — doc-local
+    # rules run over only the appended files, delquote/delvar fold via
+    # the RI state table (no corpus shuffle).  The headline is the
+    # ratio: a 10% append should cost ~10% of the baseline for the
+    # delta-scannable work (plus the fold's fixed column-pruned corpus
+    # key scan and the per-run commit machinery).
+    from gwv_spark.streaming import DOC_LOCAL_RULES
+
+    incr_rules = list(DOC_LOCAL_RULES) + ["delquote", "delvar"]
+    inc2_dir = tempfile.mkdtemp(prefix="gwv_bench_incr_")
+    inc2_out = tempfile.mkdtemp(prefix="gwv_bench_incrout_")
+    n_base = int(tbl.num_rows * 0.90)
+    pq.write_table(tbl.slice(0, n_base), f"{inc2_dir}/part-000.parquet")
+    incr_args = ["--input", inc2_dir, "--output", inc2_out,
+                 "--rules", *incr_rules, "--n-buckets", "64", "--incremental"]
+    t0 = time.time()
+    jobmod.main(incr_args, spark=spark)
+    timings["job_incr_baseline_full"] = round(time.time() - t0, 3)
+    pq.write_table(tbl.slice(n_base), f"{inc2_dir}/part-001.parquet")
+    t0 = time.time()
+    jobmod.main(incr_args, spark=spark)
+    timings["job_incr_append10"] = round(time.time() - t0, 3)
+    shutil.rmtree(inc2_dir, ignore_errors=True)
+    shutil.rmtree(inc2_out, ignore_errors=True)
+
+    # job-overhead decomposition (r4 verdict "what's wrong #3"): the
+    # same 3-rule suite as a BARE fused evaluation+write (no snapshot
+    # commit, no ledger/verdicts/metrics/manifest) — job_3rules_full
+    # minus this is the commit machinery's share, tracked separately so
+    # overhead growth and rule-work regressions can't masquerade as
+    # each other.
+    bare_out = tempfile.mkdtemp(prefix="gwv_bench_bare_")
+    docs_bare = spark.read.parquet(docs_path)
+    t0 = time.time()
+    ctx_bare = engine.make_context(spark, docs_bare, cache=False)
+    engine.run_rules(ctx_bare, ["numexp", "delquote", "order"]).write.mode(
+        "overwrite"
+    ).partitionBy("rule_id").parquet(f"{bare_out}/violations")
+    timings["job_3rules_rulework"] = round(time.time() - t0, 3)
+    timings["job_3rules_commit_overhead"] = round(
+        max(0.0, timings["job_3rules_full"] - timings["job_3rules_rulework"]), 3
+    )
+    shutil.rmtree(bare_out, ignore_errors=True)
+
     # incremental column-stats sketch store (north rule: HLL distinct +
     # t-digest quantiles, resumable): bootstrap sketches the 95% base,
     # then a 5% file append is folded in by sketching ONLY the new file;

@@ -137,12 +137,7 @@ def materialize(
         meta_tables[logical] = {"table": tables[logical], "key": key, "ddl": ddl}
 
     meta = {"snapshot": snapshot, "n_buckets": n_buckets, "tables": meta_tables}
-    (
-        ctx.spark.createDataFrame([(json.dumps(meta),)], "v string")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .text(f"{path}/{_META}")
-    )
+    _write_meta(ctx.spark, path, meta)
     return tables
 
 
@@ -155,6 +150,26 @@ def read_meta(spark: SparkSession, path: str) -> dict | None:
     return json.loads(spark.read.text(f"{path}/{_META}").collect()[0]["value"])
 
 
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    (
+        spark.createDataFrame([(json.dumps(meta),)], "v string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(f"{path}/{_META}")
+    )
+
+
+def _set_sort_claim(spark: SparkSession, meta: dict) -> None:
+    """The per-bucket sort-order claim is only sound when every bucket
+    is a SINGLE file (SPARK-28595): a fresh/compacted layout turns it
+    on (RI joins elide their Sorts), a fragmented one turns it OFF —
+    the joins then re-sort per task but stay Exchange-free, which is
+    the property that matters at corpus scale.  Claiming sortedness
+    over multi-file buckets would silently MERGE WRONG."""
+    claim = "false" if meta.get("fragmented") else "true"
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", claim)
+
+
 def attach(spark: SparkSession, path: str, meta: dict) -> dict[str, str]:
     """Re-register the layout's catalog entries in THIS session.
 
@@ -163,7 +178,7 @@ def attach(spark: SparkSession, path: str, meta: dict) -> dict[str, str]:
     external bucketed table from the DDL recorded at materialize time —
     the bucket spec is catalog metadata, which is exactly why a bare
     parquet directory cannot carry it.  Idempotent per session."""
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    _set_sort_claim(spark, meta)
     tables = {}
     for logical, t in meta["tables"].items():
         name, key, ddl = t["table"], t["key"], t["ddl"]
@@ -197,6 +212,9 @@ def ensure(
         meta is not None
         and meta.get("snapshot") == snapshot
         and int(meta["n_buckets"]) == n_buckets
+        # a crashed append_to_layout leaves this marker: some tables may
+        # hold partial delta rows — derived state, so rebuild
+        and not meta.get("appending")
     ):
         return attach(ctx.spark, path, meta)
     prefix = "gwv_b_" + hashlib.md5(path.encode()).hexdigest()[:8]
@@ -260,3 +278,152 @@ def uniqueness(spark: SparkSession, tables: dict[str, str]) -> DataFrame:
 def drop(spark: SparkSession, tables: dict[str, str]) -> None:
     for t in tables.values():
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# --------------------------------------------------- append + compaction
+
+
+def append_to_layout(ctx_delta, path: str, snapshot: str) -> dict[str, str]:
+    """Extend the layout with an appended corpus delta instead of
+    rebuilding it — the ingest-side half of the incremental lifecycle
+    (incremental.py): at 10^12 keys, re-materializing the catalog per
+    append is a full corpus rewrite, while the append inserts only the
+    delta's rows through the tables' bucket specs.
+
+    ``insertInto`` routes each row to its Murmur3 bucket (the delta is
+    pre-partitioned on the key so each task owns whole buckets), adding
+    ONE file per touched bucket per append — the layout FRAGMENTS.
+    Fragmented buckets keep the hash-distribution property (joins and
+    the uniqueness agg stay Exchange-free) but lose the single-file
+    sort claim, so the claim is turned off until :func:`compact_layout`
+    restores one file per bucket (SPARK-28595; _set_sort_claim).
+
+    NOT retry-idempotent (a blind re-run would double the delta's
+    rows): the ``appending`` marker is committed BEFORE the inserts and
+    cleared after, so a crashed append leaves the layout flagged and
+    :func:`ensure` rebuilds instead of attaching partial state.  On
+    real Iceberg this whole function is one atomic append commit."""
+    from gwv_spark.rules.delquote import quote_probe
+    from gwv_spark.rules.delvar import variant_probe
+
+    spark = ctx_delta.spark
+    meta = read_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"no bucketed layout at {path!r}; materialize first")
+    if meta.get("appending"):
+        raise ValueError(
+            f"layout at {path!r} has a crashed append (marker set); "
+            "rebuild via materialize/ensure before appending again"
+        )
+    tables = attach(spark, path, meta)
+    n_buckets = int(meta["n_buckets"])
+    meta["appending"] = True
+    _write_meta(spark, path, meta)
+
+    frames = {
+        "catalog": (ctx_delta.docs.select(F.col("doc_id").alias("key")), "key"),
+        "quotes": (quote_probe(ctx_delta).withColumnRenamed("part_base", "key"), "key"),
+        "varbases": (variant_probe(ctx_delta).withColumnRenamed("base", "key"), "key"),
+        "docs": (
+            ctx_delta.docs.select("doc_id", F.size("spans").alias("n_spans")),
+            "doc_id",
+        ),
+    }
+    for logical, (df, key) in frames.items():
+        df.repartition(n_buckets, F.col(key)).write.insertInto(tables[logical])
+
+    meta["appending"] = False
+    meta["fragmented"] = True
+    meta["snapshot"] = snapshot
+    _write_meta(spark, path, meta)
+    _set_sort_claim(spark, meta)
+    return tables
+
+
+def compact_layout(spark: SparkSession, path: str) -> dict:
+    """Merge every bucket back to ONE file per bucket, preserving the
+    bucket spec — the maintenance action that restores the sort claim
+    (and with it the Sort-free zero-Exchange RI plans) after a chain of
+    appends.  The per-table rewrite goes through the same bucketed
+    writer as ingest, so the staged files carry correct bucket ids in
+    their names; row counts are verified before each swap.
+
+    The directory swap is not atomic (catalog.compact's caveat): a
+    crash mid-swap leaves that table's scan failing LOUDLY, and the
+    remedy is a rebuild via materialize/ensure — derived state, never
+    data loss.  Iceberg's rewrite_data_files replaces this on a real
+    deployment."""
+    import re
+    import shutil
+    from pathlib import Path
+
+    meta = read_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"no bucketed layout at {path!r}")
+    tables = attach(spark, path, meta)
+    n_buckets = int(meta["n_buckets"])
+    stats = {}
+    for logical, t in meta["tables"].items():
+        name, key, ddl = t["table"], t["key"], t["ddl"]
+        loc = Path(path) / name
+        files = list(loc.glob("*.parquet"))
+        n_files_before = len(files)
+        # compact only when some bucket actually spans >1 file (the
+        # single-file condition is per BUCKET, not a total-count bound)
+        per_bucket: dict[str, int] = {}
+        for p in files:
+            m = re.search(r"_(\d{5})\.c\d{3}", p.name)
+            if m:
+                per_bucket[m.group(1)] = per_bucket.get(m.group(1), 0) + 1
+        if not per_bucket or max(per_bucket.values()) <= 1:
+            stats[logical] = {"before": n_files_before, "after": n_files_before}
+            continue
+        # read the RAW files, not spark.table(name): against the
+        # catalog entry the planner treats the scan as already
+        # hash-distributed and elides the repartition, while the
+        # non-join query's scan is NOT bucket-grouped — writer tasks
+        # then hold mixed buckets and emit one file per (task, bucket),
+        # re-fragmenting the very layout being compacted (observed:
+        # 2 files/bucket after "compaction").  A raw-file read carries
+        # no bucket metadata, so the repartition genuinely shuffles and
+        # each task owns exactly one bucket.
+        df = spark.read.parquet(str(loc))
+        expected = df.count()
+        tmp_table = f"{name}__c"
+        tmp_loc = Path(path) / f"{name}__compact_tmp"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        shutil.rmtree(tmp_loc, ignore_errors=True)
+        (
+            df.repartition(n_buckets, F.col(key))
+            .write.format("parquet")
+            .option("path", str(tmp_loc))
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(tmp_table)
+        )
+        got = spark.table(tmp_table).count()
+        if got != expected:
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+            shutil.rmtree(tmp_loc, ignore_errors=True)
+            raise RuntimeError(
+                f"compact_layout: staged count {got} != {expected} for {name}"
+            )
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(loc)
+        tmp_loc.rename(loc)
+        spark.sql(
+            f"CREATE TABLE {name} ({ddl}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {n_buckets} BUCKETS "
+            f"LOCATION '{loc}'"
+        )
+        stats[logical] = {
+            "before": n_files_before,
+            "after": len(list(loc.glob("*.parquet"))),
+        }
+    meta["fragmented"] = False
+    _write_meta(spark, path, meta)
+    _set_sort_claim(spark, meta)
+    return {"tables": tables, "files": stats}

@@ -665,6 +665,28 @@ def text_simhash(spark, sf_dir):
     return textops.simhash_near_pairs(T(spark, sf_dir, "documents"), max_hamming=3)
 
 
+@q(
+    "text_neardup_recall_curve",
+    lambda sf: f"""
+    SELECT max_hamming, n_edits, n_planted, n_detected, recall
+    FROM read_parquet('{synth_dir_for(sf)}/nd_curve_expected.parquet')
+    """,
+)
+def text_neardup_recall_curve(spark, sf_dir):
+    """The recall-vs-radius OPERATING CURVE (r4 verdict next #7): the
+    200k soak showed Hamming-radius semantics surprise users — pairing
+    is lossless AT the chosen radius, but the radius is the knob.  This
+    query measures recall per (max_hamming, token-edit level) over a
+    planted gradient corpus; the oracle is a driver-side expected table
+    from the independent Python SimHash mirror
+    (textops.ensure_neardup_curve), so the Catalyst signature, the
+    block-permutation join, and the radius filter are all under
+    differential test.  README carries the resulting guidance table."""
+    d = textops.ensure_neardup_curve(synth_dir_for(sf_dir))
+    docs = spark.read.parquet(str(d / "nd_curve_docs.parquet"))
+    return textops.simhash_recall_curve(_par_floor(spark, docs))
+
+
 # =====================================================================
 # Vector similarity
 # =====================================================================

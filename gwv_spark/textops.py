@@ -426,3 +426,128 @@ def simhash_near_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------- recall-vs-radius curve
+
+ND_CURVE_LEVELS = (0, 1, 2, 4, 8)
+ND_CURVE_RADII = (1, 3, 7)  # 64 must split into (k+1) equal blocks
+ND_CURVE_TOKENS = 30
+
+
+def _nd_curve_docs(n_per_level: int) -> list[tuple]:
+    """Deterministic planted token-distance gradient: base doc i holds
+    ND_CURVE_TOKENS id-specific tokens; its variant replaces the first
+    `level` of them (level cycling through ND_CURVE_LEVELS).  Rows:
+    (doc_id, text, level, base) — level/base NULL on base docs."""
+    rows = []
+    levels = list(ND_CURVE_LEVELS)
+    for i in range(n_per_level * len(levels)):
+        level = levels[i % len(levels)]
+        toks = [f"w{i:04d}x{j:02d}" for j in range(ND_CURVE_TOKENS)]
+        base_id = f"nd{i:05d}"
+        rows.append((base_id, " ".join(toks), None, None))
+        var = [f"q{i:04d}x{j:02d}" for j in range(level)] + toks[level:]
+        rows.append((f"pd{i:05d}", " ".join(var), level, base_id))
+    return rows
+
+
+def ensure_neardup_curve(out_dir, n_per_level: int = 20, overwrite: bool = False):
+    """Write nd_curve_docs.parquet (the planted gradient corpus) and
+    nd_curve_expected.parquet — the recall-vs-radius operating curve
+    computed DRIVER-SIDE from the Python SimHash mirror
+    (streaming._simhash64_py, independently asserted bit-identical to
+    the Catalyst expression): for each (max_hamming, n_edits) cell, the
+    fraction of planted pairs within that Hamming radius.  Block
+    permutation is lossless AT the radius (every pair with hamming ≤ k
+    shares one of the k+1 exact blocks), so this expected table is the
+    exact detection set, making the 200k-soak lesson ("the radius is
+    the knob users must choose") a measured, shipped table instead of
+    operational folklore."""
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = Path(out_dir)
+    docs_path = out / "nd_curve_docs.parquet"
+    exp_path = out / "nd_curve_expected.parquet"
+    if not overwrite and docs_path.exists() and exp_path.exists():
+        return out
+    from gwv_spark.streaming import _simhash64_py
+
+    rows = _nd_curve_docs(n_per_level)
+    out.mkdir(parents=True, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.string()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "level": pa.array([r[2] for r in rows], pa.int32()),
+                "base": pa.array([r[3] for r in rows], pa.string()),
+            }
+        ),
+        docs_path,
+    )
+    sig = {r[0]: _simhash64_py(r[1]) for r in rows}
+    exp = []
+    for k in ND_CURVE_RADII:
+        for lvl in ND_CURVE_LEVELS:
+            pairs = [
+                (r[3], r[0]) for r in rows if r[2] == lvl
+            ]
+            det = sum(
+                1 for b, v in pairs
+                if bin((sig[b] ^ sig[v]) & ((1 << 64) - 1)).count("1") <= k
+            )
+            exp.append(
+                (k, lvl, len(pairs), det, round(det / len(pairs), 6))
+            )
+    pq.write_table(
+        pa.table(
+            {
+                "max_hamming": pa.array([e[0] for e in exp], pa.int32()),
+                "n_edits": pa.array([e[1] for e in exp], pa.int32()),
+                "n_planted": pa.array([e[2] for e in exp], pa.int64()),
+                "n_detected": pa.array([e[3] for e in exp], pa.int64()),
+                "recall": pa.array([e[4] for e in exp], pa.float64()),
+            }
+        ),
+        exp_path,
+    )
+    return out
+
+
+def simhash_recall_curve(docs: DataFrame) -> DataFrame:
+    """The measured operating curve over a planted-gradient corpus
+    (ensure_neardup_curve's docs table): recall of simhash_near_pairs
+    per (max_hamming, n_edits).  One near-pairs run per radius — each a
+    bucketed candidate join over the full doc set, so the curve costs
+    |ND_CURVE_RADII| detection passes, not an all-pairs scan."""
+    planted = docs.where(F.col("level").isNotNull()).select(
+        F.col("base").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("level").alias("n_edits"),
+    )
+    out = None
+    for k in ND_CURVE_RADII:
+        pairs = simhash_near_pairs(
+            docs.select("doc_id", "text"), max_hamming=k
+        ).select("doc_a", "doc_b", F.lit(True).alias("hit"))
+        cell = (
+            planted.join(pairs, ["doc_a", "doc_b"], "left")
+            .groupBy("n_edits")
+            .agg(
+                F.count(F.lit(1)).alias("n_planted"),
+                F.count("hit").alias("n_detected"),
+            )
+            .select(
+                F.lit(k).cast("int").alias("max_hamming"),
+                F.col("n_edits").cast("int"),
+                "n_planted",
+                "n_detected",
+                F.round(F.col("n_detected") / F.col("n_planted"), 6).alias("recall"),
+            )
+        )
+        out = cell if out is None else out.unionByName(cell)
+    return out

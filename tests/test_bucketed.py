@@ -210,3 +210,109 @@ def test_job_bucketed_lifecycle(spark, tmp_path):
     assert meta3["snapshot"] != meta1["snapshot"]
     assert _rows(spark.read.parquet(str(tmp_path / "out_plain3" / "violations"))) == \
         _rows(spark.read.parquet(str(tmp_path / "out_bkt3" / "violations")))
+
+
+def test_append_then_compact_lifecycle(spark, tmp_path):
+    """r5 lifecycle: materialize over a base corpus, APPEND a delta
+    (insertInto through the bucket specs — no rebuild), then COMPACT
+    back to one file per bucket.
+
+    Asserted at each stage: (1) RI/uniqueness results equal a
+    from-scratch materialization over the full corpus; (2) fragmented
+    plans stay Exchange-free but the sort claim is off (Sorts
+    reappear); (3) after compact_layout every bucket is a single file,
+    the claim is back on, and the plans are Sort-free again."""
+    import re
+
+    from gwv_spark import bucketed, engine
+    from gwv_spark.corpus import spark_generate
+
+    full = spark_generate(spark, 2000, partitions=4)
+    base = full.where(F.col("doc_id") < "u")  # deterministic split
+    delta = full.where(~(F.col("doc_id") < "u"))
+    assert base.count() > 0 and delta.count() > 0
+
+    path = str(tmp_path / "layout")
+    ctx_base = engine.make_context(spark, base, cache=False, resolve_entity=False)
+    tables = bucketed.materialize(ctx_base, path, n_buckets=4, prefix="t_app_b")
+
+    ctx_delta = engine.make_context(spark, delta, cache=False, resolve_entity=False)
+    bucketed.append_to_layout(ctx_delta, path, snapshot="s2")
+    meta = bucketed.read_meta(spark, path)
+    assert meta["fragmented"] and meta["snapshot"] == "s2"
+    assert (
+        spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        == "false"
+    )
+
+    # parity with a from-scratch layout over the full corpus
+    ctx_full = engine.make_context(spark, full, cache=False, resolve_entity=False)
+    ref_path = str(tmp_path / "ref_layout")
+    ref_tables = bucketed.materialize(ctx_full, ref_path, n_buckets=4, prefix="t_ref_b")
+
+    def _check_parity():
+        assert _rows(bucketed.delquote_missing(spark, tables)) == _rows(
+            bucketed.delquote_missing(spark, ref_tables)
+        )
+        assert _rows(bucketed.delvar_missing(spark, tables)) == _rows(
+            bucketed.delvar_missing(spark, ref_tables)
+        )
+        assert _rows(bucketed.uniqueness(spark, tables)) == _rows(
+            bucketed.uniqueness(spark, ref_tables)
+        )
+
+    _check_parity()
+
+    # fragmented: >1 file in some bucket, plans Exchange-free but Sorted
+    cat_dir = tmp_path / "layout" / tables["catalog"]
+    per_bucket = {}
+    for p in cat_dir.glob("*.parquet"):
+        m = re.search(r"_(\d{5})\.c\d{3}", p.name)
+        per_bucket[m.group(1)] = per_bucket.get(m.group(1), 0) + 1
+    assert max(per_bucket.values()) > 1, per_bucket
+    prev = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _executed(bucketed.delquote_missing(spark, tables))
+        assert "Exchange" not in plan, plan
+        assert "Sort " in plan.replace("SortMergeJoin", ""), plan
+
+        res = bucketed.compact_layout(spark, str(tmp_path / "layout"))
+        assert not bucketed.read_meta(spark, path)["fragmented"]
+        per_bucket2 = {}
+        for p in cat_dir.glob("*.parquet"):
+            m = re.search(r"_(\d{5})\.c\d{3}", p.name)
+            per_bucket2[m.group(1)] = per_bucket2.get(m.group(1), 0) + 1
+        assert per_bucket2 and max(per_bucket2.values()) == 1, per_bucket2
+        _check_parity()
+        plan = _executed(bucketed.delquote_missing(spark, tables))
+        assert "Exchange" not in plan, plan
+        assert "Sort " not in plan.replace("SortMergeJoin", ""), plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+        bucketed.drop(spark, tables)
+        bucketed.drop(spark, ref_tables)
+
+
+def test_crashed_append_marker_forces_rebuild(spark, tmp_path):
+    """A crash between the appending-marker commit and the inserts must
+    leave the layout flagged: append_to_layout refuses, and ensure()
+    rebuilds instead of attaching partial state."""
+    from gwv_spark import bucketed, engine
+    from gwv_spark.corpus import spark_generate
+
+    docs = spark_generate(spark, 400, partitions=2)
+    ctx = engine.make_context(spark, docs, cache=False, resolve_entity=False)
+    path = str(tmp_path / "layout")
+    tables = bucketed.materialize(ctx, path, n_buckets=4, prefix="t_crash_b")
+    meta = bucketed.read_meta(spark, path)
+    meta["appending"] = True
+    bucketed._write_meta(spark, path, meta)
+
+    with pytest.raises(ValueError, match="crashed append"):
+        bucketed.append_to_layout(ctx, path, snapshot="s2")
+    # ensure() with the SAME snapshot must rebuild (marker cleared)
+    rebuilt = bucketed.ensure(ctx, path, snapshot=meta["snapshot"], n_buckets=4)
+    assert not bucketed.read_meta(spark, path).get("appending")
+    bucketed.drop(spark, rebuilt)
+    bucketed.drop(spark, tables)
