@@ -366,6 +366,19 @@ def run(args, spark: SparkSession) -> None:
                 [(rid, -1) for rid in computed], "rule_id STRING, partition_id INT"
             )
         )
+    # component timings (r4 verdict #5's decomposition, incremental
+    # form): rule/fold work separated from the per-run commit machinery
+    # (snapshot fingerprint + manifest, layout, verdicts rollup,
+    # metrics, ledger).  At test SF the machinery dominates an append's
+    # wall time; at the design point it is the amortized constant and
+    # the delta work is the bill — recording both per run keeps the
+    # two from masquerading as each other.
+    if timings:
+        spark.createDataFrame(
+            [(snapshot, k, v) for k, v in sorted(timings.items())],
+            "snapshot STRING, component STRING, wall_s DOUBLE",
+        ).coalesce(1).write.mode("append").parquet(f"{out}/component_timings")
+
     # the runs row is the LAST write: its presence certifies every
     # surface above committed for this snapshot, so a crash anywhere
     # earlier makes the next run redo this snapshot idempotently

@@ -37,6 +37,12 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
+# round tag for NEW window files + the summary artifact.  Windows from
+# earlier rounds stay on disk and stay in the summary: the campaign is
+# cumulative evidence over one box and one protocol, so re-running in a
+# later round EXTENDS the window set instead of forking a second one.
+ROUND = "r5"
+
 _spec = sys.argv[1] if len(sys.argv) > 1 else "3"
 RUN_WINDOWS = (
     [int(x) for x in _spec.split(",")]
@@ -49,7 +55,7 @@ COOLDOWN_S = int(sys.argv[2]) if len(sys.argv) > 2 else 180
 def _window_path(w: int) -> Path:
     # name must NOT match bench.py's BENCH_scaling_r*.json glob —
     # the campaign summary is the record it should read
-    return REPO / f"SCALING_window{w}_r4.json"
+    return REPO / f"SCALING_window{w}_{ROUND}.json"
 
 
 def main() -> None:
@@ -70,8 +76,8 @@ def main() -> None:
     # of truth: the per-window artifacts ARE the evidence; the summary
     # is derived, never divergent)
     windows = []
-    for p in sorted(REPO.glob("SCALING_window*_r4.json")):
-        m = re.match(r"SCALING_window(\d+)_r4\.json", p.name)
+    for p in sorted(REPO.glob("SCALING_window*_r*.json")):
+        m = re.match(r"SCALING_window(\d+)_r\d+\.json", p.name)
         d = json.loads(p.read_text())
         windows.append({
             "window": int(m.group(1)),
@@ -100,6 +106,9 @@ def main() -> None:
         "best_window_marginal": best["scaling_efficiency"]["marginal"] if best else None,
         "median_window_marginal": median["scaling_efficiency"]["marginal"] if median else None,
         "criterion_met_ge_0_8": any(m >= 0.8 for m in margs),
+        "n_windows_ge_0_8": sum(1 for m in margs if m >= 0.8),
+        "majority_windows_ge_0_8": sum(1 for m in margs if m >= 0.8) * 2
+        > len(margs),
         "criterion_met_ceiling_ratio_ge_1": bool(windows)
         and all(r is not None and r >= 1.0 for r in ratios),
         # bench.py reads scaling_efficiency.{marginal,raw_total,...} from
@@ -115,7 +124,7 @@ def main() -> None:
             f"{COOLDOWN_S}s between windows; headline = median window"
         ),
     }
-    (REPO / "BENCH_scaling_r4.json").write_text(json.dumps(summary, indent=2) + "\n")
+    (REPO / f"BENCH_scaling_{ROUND}.json").write_text(json.dumps(summary, indent=2) + "\n")
     print(json.dumps({k: v for k, v in summary.items() if k != "windows"}))
 
 

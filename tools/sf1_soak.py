@@ -1,0 +1,170 @@
+"""One-decade scale soak (VERDICT r4 next #2): the full 18-rule suite
+and the dedup pipeline measured at 10M docs against the 1M anchor.
+
+The 100x claim needs a measured decade, not an extrapolated one: this
+runs the SAME code at n=1M and n=10M on the same session and records
+
+- sustained suite throughput (docs/s) at both sizes and their ratio
+  (criterion: 10M rate >= 0.7x the 1M rate — sub-linear decay only);
+- a normalized executed-plan fingerprint of the 18-rule union at both
+  sizes (criterion: identical operator tree — AQE may re-coalesce
+  partition COUNTS at runtime, but the operator SHAPE must not change
+  with scale: a join that flips strategy at 10x would flip again at
+  the design point);
+- dedup pipeline (simhash pairs -> star-contraction closure -> keeper
+  election) wall time at both sizes over a deterministic token-diverse
+  text corpus with 0.5% planted near-dup twins, and the group counts
+  (exact precision expectation: groups == planted twins).
+
+Writes BENCH_sf1_soak.json.  Run alone (no concurrent Spark-heavy
+work) — the scaling campaign's one-at-a-time rule applies here too.
+
+Usage: python tools/sf1_soak.py [small_n] [big_n]
+Env: SPARK_GRAFT_CPUS (default 32), SPARK_DRIVER_MEM (default 48g
+here — the 10M cached parse needs headroom; spills are counted as
+decay, not failure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+
+SMALL_N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+BIG_N = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+
+
+def plan_fingerprint(df) -> list[str]:
+    """Operator-shape lines of the executed plan, normalized: expression
+    ids, partition/row counts, paths and AQE runtime annotations are
+    stripped so two runs differ only if an OPERATOR differs."""
+    s = df._jdf.queryExecution().executedPlan().toString()
+    out = []
+    for ln in s.splitlines():
+        m = re.match(r"^[\s:+\-*]*\(?(\d+\))?\s*([A-Za-z][A-Za-z0-9]+)", ln)
+        if not m:
+            continue
+        op = m.group(2)
+        if op in ("Arguments", "Input", "Output", "Results", "Keys", "Functions",
+                  "Condition", "ReadSchema", "Batched", "Location", "Subquery"):
+            continue
+        out.append(op)
+    return out
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from gwv_spark import engine
+    from gwv_spark.components import dedup_keep_list
+    from gwv_spark.corpus import spark_generate
+    from gwv_spark.session import get_spark
+    from gwv_spark.textops import simhash_near_pairs
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("gwv-sf1-soak", cpus=cpus, shuffle_partitions=cpus)
+    rec: dict = {
+        "metric": "sf1_scale_soak",
+        "sizes": [SMALL_N, BIG_N],
+        "cpus": cpus,
+        "driver_mem": os.environ.get("SPARK_DRIVER_MEM"),
+    }
+
+    suite = {}
+    plans = {}
+    for n in (SMALL_N, BIG_N):
+        docs = spark_generate(spark, n, partitions=cpus * 4).select("doc_id", "spans")
+        t0 = time.time()
+        ctx = engine.make_context(spark, docs, cache=True)
+        cold = time.time() - t0
+        t0 = time.time()
+        engine.run_suite(ctx)
+        cold += time.time() - t0
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            engine.run_suite(ctx)
+            runs.append(time.time() - t0)
+        sustained = min(runs)
+        plans[n] = plan_fingerprint(engine.run_rules(ctx))
+        suite[n] = {
+            "cold_s": round(cold, 1),
+            "sustained_s": round(sustained, 1),
+            "docs_per_sec": round(n / sustained, 1),
+        }
+        print(json.dumps({"suite_at": n, **suite[n]}), flush=True)
+        ctx.docs.unpersist()
+        ctx.spans.unpersist()
+    rec["suite"] = {str(k): v for k, v in suite.items()}
+    ratio = suite[BIG_N]["docs_per_sec"] / suite[SMALL_N]["docs_per_sec"]
+    rec["suite_rate_ratio_10x"] = round(ratio, 3)
+    rec["criterion_rate_ratio_ge_0_7"] = ratio >= 0.7
+    same_plan = plans[SMALL_N] == plans[BIG_N]
+    rec["plan_shape_stable"] = same_plan
+    if not same_plan:
+        import difflib
+
+        rec["plan_diff"] = [
+            d for d in difflib.unified_diff(
+                plans[SMALL_N], plans[BIG_N], lineterm="", n=0
+            )
+        ][:80]
+
+    # ---- dedup pipeline: token-diverse text + 0.5% planted twins
+    dedup = {}
+    for n in (SMALL_N, BIG_N):
+        ids = spark.range(n, numPartitions=cpus * 4)
+        toks = F.transform(
+            F.sequence(F.lit(0), F.lit(19)),
+            lambda j: F.concat(F.lit("w"), F.col("id"), F.lit("x"), j),
+        )
+        base = ids.select(
+            F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+            F.concat_ws(" ", toks).alias("text"),
+        )
+        twin_toks = F.transform(
+            F.sequence(F.lit(0), F.lit(19)),
+            lambda j: F.when(j == 0, F.concat(F.lit("q"), F.col("id"))).otherwise(
+                F.concat(F.lit("w"), F.col("id"), F.lit("x"), j)
+            ),
+        )
+        twins = ids.where(F.col("id") % 200 == 0).select(
+            F.concat(F.lit("t"), F.col("id")).alias("doc_id"),
+            F.concat_ws(" ", twin_toks).alias("text"),
+        )
+        text_df = base.unionByName(twins)
+        t0 = time.time()
+        keep = dedup_keep_list(text_df, simhash_near_pairs(text_df, max_hamming=3))
+        agg = keep.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((~F.col("keep")).cast("long")).alias("removed"),
+        ).collect()[0]
+        n_total, n_removed = int(agg["n"]), int(agg["removed"] or 0)
+        wall = time.time() - t0
+        dedup[n] = {
+            "wall_s": round(wall, 1),
+            "n_docs": n_total,
+            "n_removed": n_removed,
+            "docs_per_sec": round((n + n // 200) / wall, 1),
+        }
+        print(json.dumps({"dedup_at": n, **dedup[n]}), flush=True)
+    rec["dedup"] = {str(k): v for k, v in dedup.items()}
+    dratio = dedup[BIG_N]["docs_per_sec"] / dedup[SMALL_N]["docs_per_sec"]
+    rec["dedup_rate_ratio_10x"] = round(dratio, 3)
+
+    (REPO / "BENCH_sf1_soak.json").write_text(json.dumps(rec, indent=2) + "\n")
+    print(json.dumps({k: v for k, v in rec.items() if k not in ("suite", "dedup", "plan_diff")}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
