@@ -35,7 +35,7 @@ BENCH_QUERIES = [
     "stats_ks_nchars_src0_vs_src1",
     "stats_tdigest_rank_error",
     "text_exact_dup_groups",
-    "text_token_stats",
+    "text_token_quality_stats",
     "text_langid",
     "text_fingerprint",
     "text_jaccard_pairs",

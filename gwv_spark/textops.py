@@ -63,9 +63,14 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Deterministic heuristic quality score in [0,1]: length band +
-    punctuation sanity + stopword presence (a C4/Gopher-style filter)."""
+def token_quality_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """token_stats plus the derived heuristic quality score in [0,1]
+    (length band + punctuation sanity + stopword presence — a
+    C4/Gopher-style filter) as one per-doc feature row: the stats and
+    the score come from ONE pass, which is also how the driver oracle
+    checks them (one registry entry, every column hashed)."""
     ts = token_stats(df, text_col, id_col)
     len_ok = (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000)
     punct_ok = F.col("punct_ratio") <= 0.2
@@ -74,7 +79,13 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         + F.when(punct_ok, 0.3).otherwise(0.0)
         + F.round(F.least(F.col("stopword_ratio") * 3, F.lit(0.3)), 6)
     )
-    return ts.select("doc_id", F.round(score, 6).alias("quality"))
+    return ts.withColumn("quality", F.round(score, 6))
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic heuristic quality score in [0,1] (see
+    token_quality_stats)."""
+    return token_quality_stats(df, text_col, id_col).select("doc_id", "quality")
 
 
 def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -90,6 +90,10 @@ def test_oracle_sql_parses_in_duckdb(tmp_path):
     from gwv_spark.corpus import synth_dir_for
 
     mediaops.ensure_media(synth_dir_for(sf_dir), Q._n_media(sf_dir))
+    # same deal for the recall-curve expected table (r5)
+    from gwv_spark import textops
+
+    textops.ensure_neardup_curve(synth_dir_for(sf_dir))
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():

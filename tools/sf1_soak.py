@@ -161,6 +161,58 @@ def main() -> None:
     dratio = dedup[BIG_N]["docs_per_sec"] / dedup[SMALL_N]["docs_per_sec"]
     rec["dedup_rate_ratio_10x"] = round(dratio, 3)
 
+    # ---- incremental append at scale (verdict next #1's done bar):
+    # at bench SF the per-action constants swamp a 6k-doc delta; HERE a
+    # 10% append's doc-local delta work should land near 10% of the
+    # baseline's rule work (component_timings separates it from the
+    # per-run commit machinery).
+    import shutil
+    import tempfile
+
+    from gwv_spark import job as jobmod
+    from gwv_spark.streaming import DOC_LOCAL_RULES
+
+    inc_dir = tempfile.mkdtemp(prefix="gwv_soak_inc_")
+    inc_out = tempfile.mkdtemp(prefix="gwv_soak_incout_")
+    delta_tmp = tempfile.mkdtemp(prefix="gwv_soak_delta_")
+    docs_all = spark_generate(spark, BIG_N, partitions=cpus * 4)
+    split = F.pmod(F.xxhash64("doc_id"), F.lit(10))
+    docs_all.where(split < 9).write.mode("overwrite").parquet(inc_dir)
+    docs_all.where(split == 9).write.mode("overwrite").parquet(delta_tmp)
+    incr_rules = list(DOC_LOCAL_RULES) + ["delquote", "delvar"]
+    incr_args = ["--input", inc_dir, "--output", inc_out,
+                 "--rules", *incr_rules, "--n-buckets", "64", "--incremental"]
+    t0 = time.time()
+    jobmod.main(incr_args, spark=spark)
+    t_base = time.time() - t0
+    # append: MOVE the delta's data files into the corpus dir (base
+    # files untouched -> a true append for the manifest diff)
+    moved = 0
+    for p in sorted(Path(delta_tmp).glob("*.parquet")):
+        p.rename(Path(inc_dir) / f"delta-{moved:05d}.parquet")
+        moved += 1
+    t0 = time.time()
+    jobmod.main(incr_args, spark=spark)
+    t_app = time.time() - t0
+    comp = {
+        r["component"]: r["wall_s"]
+        for r in spark.read.parquet(f"{inc_out}/component_timings").collect()
+    }
+    base_work = comp.get("__rules__", 0.0) + comp.get("__ri_state__", 0.0)
+    app_work = comp.get("__local_delta__", 0.0) + comp.get("__ri_fold__", 0.0)
+    rec["incremental"] = {
+        "n_docs_base": BIG_N - BIG_N // 10,
+        "baseline_total_s": round(t_base, 1),
+        "append10_total_s": round(t_app, 1),
+        "baseline_rulework_s": round(base_work, 1),
+        "append10_rulework_s": round(app_work, 1),
+        "rulework_ratio": round(app_work / base_work, 3) if base_work else None,
+    }
+    print(json.dumps({"incremental": rec["incremental"]}), flush=True)
+    shutil.rmtree(inc_dir, ignore_errors=True)
+    shutil.rmtree(inc_out, ignore_errors=True)
+    shutil.rmtree(delta_tmp, ignore_errors=True)
+
     (REPO / "BENCH_sf1_soak.json").write_text(json.dumps(rec, indent=2) + "\n")
     print(json.dumps({k: v for k, v in rec.items() if k not in ("suite", "dedup", "plan_diff")}))
     spark.stop()
