@@ -309,10 +309,20 @@ def run(args, spark: SparkSession) -> None:
             local, ri, scoped, done, vio_dir, timings,
         )
     elif prev["snapshot"] == snapshot:
-        # nothing appended since the last run: idempotent no-op (a
-        # --resume retry after a crash-before-runs-append lands in the
-        # branch above via the runs log instead)
-        pass
+        # nothing appended since the last run: idempotent no-op — but
+        # ONLY for rules the prior chain actually computed.  A new rule
+        # requested here was never evaluated; silently marking it
+        # complete (and counting its absent violations as zero) would
+        # be a wrong verdict, so it gets the same guard as the append
+        # path: run it through a full pass first.
+        uncovered = [r for r in rule_ids if r not in prev["rules"]]
+        if uncovered:
+            raise SystemExit(
+                f"rules {uncovered} were not computed by the prior run "
+                f"chain ({sorted(prev['rules'])}); marking them complete "
+                "without evaluation would fabricate clean verdicts — run "
+                "them via a full validation first"
+            )
     else:
         _append_run(
             spark, args, out, snapshot, prev, documents, attrs,

@@ -216,3 +216,21 @@ def test_uncovered_rule_requires_full_run(spark, tmp_path):
     with pytest.raises(SystemExit, match="prior run chain"):
         job.main(["--input", str(corpus), "--output", str(out),
                   "--rules", "order", "--incremental"], spark=spark)
+
+
+def test_same_snapshot_new_rule_refuses(spark, tmp_path):
+    """Review regression: re-running --incremental on an UNCHANGED
+    snapshot with a rule the chain never computed must refuse — the
+    no-op branch would otherwise ledger-mark the rule complete and
+    report zero violations without ever evaluating it."""
+    full = ensure_corpus(tmp_path / "gen", 60)
+    corpus = str(full / "documents.parquet")
+    out = tmp_path / "inc"
+    job.main(["--input", corpus, "--output", str(out),
+              "--rules", "numexp", "--incremental"], spark=spark)
+    with pytest.raises(SystemExit, match="prior run chain"):
+        job.main(["--input", corpus, "--output", str(out),
+                  "--rules", "numexp", "order", "--incremental"], spark=spark)
+    # the covered rule alone still no-ops cleanly
+    job.main(["--input", corpus, "--output", str(out),
+              "--rules", "numexp", "--incremental"], spark=spark)
