@@ -40,8 +40,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     # the oracle reads the synthetic corpus parquet from disk: make sure
-    # it exists for the driver's sf before handing out SQL
+    # it exists for the driver's sf before handing out SQL — including
+    # the generator-forward expected tables (media round-trip oracles,
+    # the r5 near-dup recall curve), so oracle execution can never race
+    # ahead of the Spark side that would otherwise write them on first
+    # use
     ensure_corpus_for_sf_dir(_ORACLE_SF_DIR)
+    from gwv_spark import mediaops, textops
+    from gwv_spark.corpus import synth_dir_for
+
+    mediaops.ensure_media(synth_dir_for(_ORACLE_SF_DIR), Q._n_media(_ORACLE_SF_DIR))
+    textops.ensure_neardup_curve(synth_dir_for(_ORACLE_SF_DIR))
     return {
         name: spec.oracle_fn(_ORACLE_SF_DIR)
         for name, spec in Q.REGISTRY.items()
