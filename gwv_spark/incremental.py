@@ -391,10 +391,14 @@ def run(args, spark: SparkSession) -> None:
 
     # the runs row is the LAST write: its presence certifies every
     # surface above committed for this snapshot, so a crash anywhere
-    # earlier makes the next run redo this snapshot idempotently
+    # earlier makes the next run redo this snapshot idempotently.
+    # Coverage is EXACTLY this run's rule set, never a union with prior
+    # runs: a doc-local/RI rule left out of one append run misses that
+    # append's delta forever after, so continuity only holds for rules
+    # processed by EVERY run in the chain — recording a union would let
+    # a skipped-once rule pass the coverage guard with stale results.
     if prev is None or prev["snapshot"] != snapshot:
-        covered = set(rule_ids) | (prev["rules"] if prev else set())
-        record_run(spark, out, snapshot, sorted(covered))
+        record_run(spark, out, snapshot, sorted(set(rule_ids)))
 
 
 def _write_epoch(vio: DataFrame, vio_dir: str, epoch: str) -> None:

@@ -234,3 +234,29 @@ def test_same_snapshot_new_rule_refuses(spark, tmp_path):
     # the covered rule alone still no-ops cleanly
     job.main(["--input", corpus, "--output", str(out),
               "--rules", "numexp", "--incremental"], spark=spark)
+
+
+def test_skipped_rule_breaks_its_chain(spark, tmp_path):
+    """Review regression (coverage-union bug): a doc-local rule left
+    out of one append run misses that append's delta forever — a later
+    request for it must REFUSE, not fold from stale epochs.  Coverage
+    is the last run's exact rule set, never a union."""
+    full = ensure_corpus(tmp_path / "gen", 120)
+    table = pq.read_table(full / "documents.parquet")
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    pq.write_table(table.slice(0, 80), corpus / "part-000.parquet")
+    out = tmp_path / "inc"
+
+    def run(rules):
+        job.main(["--input", str(corpus), "--output", str(out),
+                  "--rules", *rules, "--incremental"], spark=spark)
+
+    run(["numexp", "order"])
+    pq.write_table(table.slice(80, 20), corpus / "part-001.parquet")
+    run(["numexp"])  # order skipped: its chain is now broken
+    pq.write_table(table.slice(100, 20), corpus / "part-002.parquet")
+    with pytest.raises(SystemExit, match="prior run chain"):
+        run(["numexp", "order"])
+    # the continuously-processed rule still folds fine
+    run(["numexp"])
