@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "text_jaccard_pairs",
     "text_minhash_lsh_pairs",
     "text_simhash_near_pairs",
+    "text_neardup_recall_curve",
     "vec_cosine_topk",
     "vec_lsh_cosine_topk",
     "gwv_numexp_violations",
