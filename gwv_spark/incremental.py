@@ -308,26 +308,33 @@ def run(args, spark: SparkSession) -> None:
             spark, args, out, snapshot, documents, attrs,
             local, ri, scoped, done, vio_dir, timings,
         )
+        covered_now, need_record = set(rule_ids), True
     elif prev["snapshot"] == snapshot:
-        # nothing appended since the last run: idempotent no-op — but
-        # ONLY for rules the prior chain actually computed.  A new rule
-        # requested here was never evaluated; silently marking it
-        # complete (and counting its absent violations as zero) would
-        # be a wrong verdict, so it gets the same guard as the append
-        # path: run it through a full pass first.
-        uncovered = [r for r in rule_ids if r not in prev["rules"]]
-        if uncovered:
-            raise SystemExit(
-                f"rules {uncovered} were not computed by the prior run "
-                f"chain ({sorted(prev['rules'])}); marking them complete "
-                "without evaluation would fabricate clean verdicts — run "
-                "them via a full validation first"
+        # nothing appended since the last run: idempotent no-op for
+        # rules the prior chain computed.  A rule NEW to the chain was
+        # never evaluated — silently marking it complete would
+        # fabricate a clean verdict — so the new rules (and only they)
+        # get a full evaluation at this snapshot, the same machinery as
+        # an initial run restricted to them.
+        unc = [r for r in rule_ids if r not in prev["rules"]]
+        if unc:
+            _initial_run(
+                spark, args, out, snapshot, documents, attrs,
+                [r for r in unc if r in local],
+                [r for r in unc if r in ri],
+                [r for r in unc if r in scoped],
+                done, vio_dir, timings,
             )
+        covered_now = prev["rules"] | set(rule_ids)
+        need_record = bool(unc)
     else:
         _append_run(
             spark, args, out, snapshot, prev, documents, attrs,
             local, ri, scoped, done, vio_dir, timings,
         )
+        # rules in the prior coverage NOT requested this run missed
+        # this append — they drop out of coverage (their chain breaks)
+        covered_now, need_record = set(rule_ids), True
 
     total_secs = round(time.monotonic() - t_run, 3)
 
@@ -392,13 +399,15 @@ def run(args, spark: SparkSession) -> None:
     # the runs row is the LAST write: its presence certifies every
     # surface above committed for this snapshot, so a crash anywhere
     # earlier makes the next run redo this snapshot idempotently.
-    # Coverage is EXACTLY this run's rule set, never a union with prior
-    # runs: a doc-local/RI rule left out of one append run misses that
-    # append's delta forever after, so continuity only holds for rules
-    # processed by EVERY run in the chain — recording a union would let
-    # a skipped-once rule pass the coverage guard with stale results.
-    if prev is None or prev["snapshot"] != snapshot:
-        record_run(spark, out, snapshot, sorted(set(rule_ids)))
+    # Coverage after an APPEND is exactly this run's rule set, never a
+    # union with prior runs: a doc-local rule left out of one append
+    # misses that append's delta forever after, so continuity only
+    # holds for rules processed by EVERY run in the chain (a dropped
+    # rule re-entering the chain is detected and fully re-evaluated).
+    # On a SAME-SNAPSHOT run the prior rules stay current (no new
+    # data), so coverage there is the union.
+    if need_record:
+        record_run(spark, out, snapshot, sorted(covered_now))
 
 
 def _write_epoch(vio: DataFrame, vio_dir: str, epoch: str) -> None:
@@ -440,7 +449,12 @@ def _initial_run(
         timings["__ri_state__"] = round(time.monotonic() - t0, 3)
     todo = local + scoped + ri
     if todo:
-        _clear_epoch(spark, vio_dir, todo, snapshot)
+        # ALL epochs cleared, not just the current one: this path also
+        # serves a rule RE-ENTERING the chain (called from _append_run /
+        # the same-snapshot branch), which may carry stale epochs from
+        # before its chain broke — the full evaluation below is the
+        # complete set
+        _clear_rule_dirs(spark, vio_dir, todo)
         t0 = time.monotonic()
         _write_epoch(engine.run_rules(ctx, todo), vio_dir, snapshot)
         timings["__rules__"] = round(time.monotonic() - t0, 3)
@@ -489,19 +503,36 @@ def _append_run(
         )
     delta_files = sorted(new_files - prev_files)
 
-    # prior-coverage guard: delta-union (local) and state-fold (RI)
-    # are only correct when the prior chain actually computed the rule
-    uncovered = [r for r in local + ri if r not in prev["rules"]]
-    if uncovered:
-        raise SystemExit(
-            f"rules {uncovered} were not computed by the prior run chain "
-            f"({sorted(prev['rules'])}); an incremental union would miss "
-            "pre-append documents — run them via a full validation first"
-        )
-
-    local = [r for r in local if r not in done]
+    # Chain continuity decides the cheap path per rule; a rule OUTSIDE
+    # the chain gets a full re-evaluation instead of a refusal:
+    # - doc-local: delta-union is only complete when every run in the
+    #   chain processed the rule (prev["rules"] is exactly the last
+    #   run's set) — a rule new to or re-entering the chain recomputes
+    #   over the full corpus, complete set under the current epoch.
+    # - RI: the state table always carries BOTH rules' cores (the fold
+    #   evaluates both probes regardless of the requested subset), so
+    #   currency is a property of the state itself: the fold is sound
+    #   iff a state epoch exists for the PREVIOUS snapshot.  Absent
+    #   (RI never run, or skipped across an append) -> initialize
+    #   fresh from the full corpus.
+    fresh_local = [r for r in local if r not in prev["rules"] and r not in done]
+    local = [r for r in local if r in prev["rules"] and r not in done]
     ri = [r for r in ri if r not in done]
+    state_fs, state_jvm = _fs(spark, out)
+    state_current = state_fs.exists(
+        state_jvm.org.apache.hadoop.fs.Path(
+            f"{out}/ri_state/epoch={prev['snapshot']}"
+        )
+    )
+    ri_fold, ri_init = (ri, []) if state_current else ([], ri)
     scoped = [r for r in scoped if r not in done]
+
+    if fresh_local or ri_init:
+        _initial_run(
+            spark, args, out, snapshot, documents, attrs,
+            fresh_local, ri_init, [], done, vio_dir, timings,
+        )
+    ri = ri_fold
 
     if delta_files and (local or ri):
         docs_delta = spark.read.schema(documents.schema).parquet(*delta_files)
