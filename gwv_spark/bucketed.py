@@ -112,8 +112,9 @@ def materialize(
     # This layout's ingest guarantees exactly one file per bucket (the
     # repartition in _write_bucketed), which is precisely the condition
     # under which the claim is sound — so the layout owner turns the
-    # claim back on, and the RI joins elide their Sorts too.
-    ctx.spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    # claim back on (session-registry-aware: a fragmented sibling
+    # layout keeps it off), and the RI joins elide their Sorts too.
+    _set_sort_claim(ctx.spark, {"fragmented": False}, path)
 
     tables = {
         "catalog": f"{prefix}_catalog",
@@ -159,14 +160,29 @@ def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
     )
 
 
-def _set_sort_claim(spark: SparkSession, meta: dict) -> None:
+# layout path -> fragmented?  The sort-order claim is a SESSION-GLOBAL
+# conf, so it must reflect every layout this session has touched, not
+# just the last one attached: a fresh layout re-enabling the claim
+# while a fragmented layout's tables are still queryable would let a
+# SortMergeJoin elide its Sorts over multi-file buckets — silent wrong
+# merges (review finding r5).  Conservative rule: ANY known fragmented
+# layout keeps the claim off for the whole session (fresh layouts then
+# pay explicit Sorts — a perf cost, never a correctness one).
+_FRAGMENTED_LAYOUTS: dict[str, bool] = {}
+
+
+def _set_sort_claim(spark: SparkSession, meta: dict, path: str) -> None:
     """The per-bucket sort-order claim is only sound when every bucket
-    is a SINGLE file (SPARK-28595): a fresh/compacted layout turns it
-    on (RI joins elide their Sorts), a fragmented one turns it OFF —
-    the joins then re-sort per task but stay Exchange-free, which is
-    the property that matters at corpus scale.  Claiming sortedness
-    over multi-file buckets would silently MERGE WRONG."""
-    claim = "false" if meta.get("fragmented") else "true"
+    is a SINGLE file (SPARK-28595): with no fragmented layout in the
+    session it is on (RI joins elide their Sorts); as soon as one
+    layout fragments it turns OFF session-wide — the joins then
+    re-sort per task but stay Exchange-free, which is the property
+    that matters at corpus scale.  Claiming sortedness over multi-file
+    buckets would silently MERGE WRONG."""
+    _FRAGMENTED_LAYOUTS[path] = bool(
+        meta.get("fragmented") or meta.get("appending")
+    )
+    claim = "false" if any(_FRAGMENTED_LAYOUTS.values()) else "true"
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", claim)
 
 
@@ -178,7 +194,7 @@ def attach(spark: SparkSession, path: str, meta: dict) -> dict[str, str]:
     external bucketed table from the DDL recorded at materialize time —
     the bucket spec is catalog metadata, which is exactly why a bare
     parquet directory cannot carry it.  Idempotent per session."""
-    _set_sort_claim(spark, meta)
+    _set_sort_claim(spark, meta, path)
     tables = {}
     for logical, t in meta["tables"].items():
         name, key, ddl = t["table"], t["key"], t["ddl"]
@@ -319,6 +335,10 @@ def append_to_layout(ctx_delta, path: str, snapshot: str) -> dict[str, str]:
     n_buckets = int(meta["n_buckets"])
     meta["appending"] = True
     _write_meta(spark, path, meta)
+    # the claim goes OFF before the first insert lands: a crash
+    # mid-append must not leave a session claiming sorted buckets over
+    # the partial multi-file state
+    _set_sort_claim(spark, meta, path)
 
     frames = {
         "catalog": (ctx_delta.docs.select(F.col("doc_id").alias("key")), "key"),
@@ -336,7 +356,7 @@ def append_to_layout(ctx_delta, path: str, snapshot: str) -> dict[str, str]:
     meta["fragmented"] = True
     meta["snapshot"] = snapshot
     _write_meta(spark, path, meta)
-    _set_sort_claim(spark, meta)
+    _set_sort_claim(spark, meta, path)
     return tables
 
 
@@ -425,5 +445,5 @@ def compact_layout(spark: SparkSession, path: str) -> dict:
         }
     meta["fragmented"] = False
     _write_meta(spark, path, meta)
-    _set_sort_claim(spark, meta)
+    _set_sort_claim(spark, meta, path)
     return {"tables": tables, "files": stats}

@@ -309,6 +309,7 @@ def run(args, spark: SparkSession) -> None:
             local, ri, scoped, done, vio_dir, timings,
         )
         covered_now, need_record = set(rule_ids), True
+        evaluated = set(rule_ids)
     elif prev["snapshot"] == snapshot:
         # nothing appended since the last run: idempotent no-op for
         # rules the prior chain computed.  A rule NEW to the chain was
@@ -327,14 +328,26 @@ def run(args, spark: SparkSession) -> None:
             )
         covered_now = prev["rules"] | set(rule_ids)
         need_record = bool(unc)
+        evaluated = set(unc)
     else:
         _append_run(
             spark, args, out, snapshot, prev, documents, attrs,
             local, ri, scoped, done, vio_dir, timings,
         )
         # rules in the prior coverage NOT requested this run missed
-        # this append — they drop out of coverage (their chain breaks)
+        # this append — they drop out of coverage (their chain breaks),
+        # and their on-disk epochs are now append-UNAWARE: presenting
+        # them through the verdicts rollup as current state would be
+        # WRONG (a resolved dangling ref still shown as a violation),
+        # not merely old.  The surface contract is "the output dir
+        # holds maintained results"; a dropped rule's results are
+        # removed with its coverage — re-requesting the rule later
+        # triggers the full re-evaluation path above.
+        dropped = sorted(prev["rules"] - set(rule_ids))
+        if dropped:
+            _clear_rule_dirs(spark, vio_dir, dropped)
         covered_now, need_record = set(rule_ids), True
+        evaluated = set(rule_ids)
 
     total_secs = round(time.monotonic() - t_run, 3)
 
@@ -356,7 +369,11 @@ def run(args, spark: SparkSession) -> None:
             f"{out}/violations_sample"
         )
 
-    computed = [r for r in rule_ids if r not in done]
+    # metrics + ledger marks only for rules this run actually evaluated
+    # (initial/append: all requested; same-snapshot: the new rules) — a
+    # pure no-op rerun must not append duplicate metrics rows or
+    # re-mark the ledger for work it did not do
+    computed = [r for r in rule_ids if r not in done and r in evaluated]
     if computed:
         counts = {
             r["rule_id"]: r["n"]
@@ -564,8 +581,9 @@ def _append_run(
                 snapshot,
             )
             timings["__ri_fold__"] = round(time.monotonic() - t0, 3)
-    elif ri and not delta_files:
-        pass  # no delta: state and violations are already current
+    # (delta_files is never empty here: the same-snapshot case is
+    # handled by the caller, removals/rewrites fail fast above, so a
+    # differing fingerprint implies new files)
 
     if scoped:
         # corpus-scoped non-RI rules: full recompute (their verdicts

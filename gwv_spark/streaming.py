@@ -785,6 +785,9 @@ def _simhash64_py(text: str | None) -> int:
     return val
 
 
+_SIMHASH_CHUNK_TOKENS = 1 << 18  # token-axis chunk bound (tests shrink it)
+
+
 def _simhash64_batch(texts) -> "object":
     """Vectorized SimHash over a pandas Series of texts — the streaming
     hot path (round-4 verdict item: the per-element ``.map`` inside the
@@ -827,14 +830,41 @@ def _simhash64_batch(texts) -> "object":
         return pd.Series(out, index=texts.index)
     h = np.frombuffer(b"".join(digests), dtype=">u8").astype(np.uint64)
     shifts = np.arange(64, dtype=np.uint64)
-    signs = (
-        ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32) * 2 - 1
-    )
-    votes = np.add.reduceat(signs, np.asarray(starts, dtype=np.intp), axis=0)
+    starts_a = np.asarray(starts, dtype=np.intp)
+    rows_a = np.asarray(rows, dtype=np.intp)
+    # Chunk the token axis (on doc boundaries) so the bit-unpacked
+    # temporaries stay bounded: the signs matrix is tokens x 64 int32,
+    # ~64 MB per 256k tokens — without chunking a long-document Arrow
+    # batch (10k docs x 1k tokens) would materialize multi-GB
+    # temporaries in one shot (review finding r5).  Per-chunk cost is
+    # whole-array numpy exactly as before; only the peak changes.
+    CHUNK_TOKENS = _SIMHASH_CHUNK_TOKENS
+    doc_ends = np.append(starts_a[1:], n_tok)
+    votes_parts = []
+    d0 = 0
+    while d0 < len(starts_a):
+        d1 = d0
+        t_begin = starts_a[d0]
+        while d1 < len(starts_a) and doc_ends[d1] - t_begin <= CHUNK_TOKENS:
+            d1 += 1
+        d1 = max(d1, d0 + 1)  # a single doc longer than the chunk still processes
+        t_end = doc_ends[d1 - 1]
+        signs = (
+            (
+                (h[t_begin:t_end, None] >> shifts[None, :]) & np.uint64(1)
+            ).astype(np.int32)
+            * 2
+            - 1
+        )
+        votes_parts.append(
+            np.add.reduceat(signs, starts_a[d0:d1] - t_begin, axis=0)
+        )
+        d0 = d1
+    votes = np.concatenate(votes_parts, axis=0)
     packed = (
         ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
     )
-    out[np.asarray(rows, dtype=np.intp)] = packed.view(np.int64)
+    out[rows_a] = packed.view(np.int64)
     return pd.Series(out, index=texts.index)
 
 

@@ -600,6 +600,22 @@ def test_stream_simhash_near_dup_matches_batch(spark, tmp_path):
     for j, r in enumerate(local):
         assert int(vec.iloc[j]) == cat[r["doc_id"]], r["doc_id"]
     assert list(vec.iloc[-3:]) == [0, 0, 0]
+    # chunked token-axis path (r5 memory bound): force tiny chunks so
+    # doc groups split mid-series — including a single doc longer than
+    # the chunk — and assert bit-identity is unchanged
+    from gwv_spark import streaming as _st
+
+    saved = _st._SIMHASH_CHUNK_TOKENS
+    try:
+        _st._SIMHASH_CHUNK_TOKENS = 7
+        long_doc = " ".join(f"tok{i}" for i in range(50))
+        texts2 = pd.Series([r["text"] for r in local] + [long_doc])
+        vec2 = _simhash64_batch(texts2)
+        for j, r in enumerate(local):
+            assert int(vec2.iloc[j]) == cat[r["doc_id"]], r["doc_id"]
+        assert int(vec2.iloc[-1]) == _simhash64_py(long_doc)
+    finally:
+        _st._SIMHASH_CHUNK_TOKENS = saved
 
     landing = tmp_path / "landing"
     landing.mkdir()

@@ -145,7 +145,9 @@ def main() -> None:
             "tools/scaling_bench.py executor mode "
             "(local-cluster[1,4,10240] vs [4,4,10240], interleaved turns, "
             "marginal 500k->2M, min-of-3), cooldown 180s between "
-            "windows; headline = median window"
+            "windows (the cooldown used for every measured window; a "
+            "rebuild-only invocation does not re-measure); headline = "
+            "median window"
         ),
     }
     (REPO / f"BENCH_scaling_{ROUND}.json").write_text(json.dumps(summary, indent=2) + "\n")
